@@ -1,0 +1,79 @@
+"""Mel filterbank constants (slaney scale / slaney norm, librosa-compatible).
+
+The reference obtains filterbanks from `librosa.filters.mel` at four call
+sites (reference: vits/spectrogram.py:84, vits_extend/stft.py:50,
+whisper/audio.py:65, speaker/utils/audio.py). Here the filterbank is a pure
+NumPy constant computed once per (sr, n_fft, n_mels, fmin, fmax) and baked
+into the jitted spectrogram graphs — no runtime dependency, no device cache
+keyed on dtype like the reference's global `mel_basis` dict
+(vits/spectrogram.py:37).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+_F_SP = 200.0 / 3.0          # slaney: linear region Hz per mel
+_MIN_LOG_HZ = 1000.0
+_MIN_LOG_MEL = _MIN_LOG_HZ / _F_SP
+_LOGSTEP = np.log(6.4) / 27.0
+
+
+def hz_to_mel(frequencies: np.ndarray) -> np.ndarray:
+    f = np.asanyarray(frequencies, dtype=np.float64)
+    mels = f / _F_SP
+    log_region = f >= _MIN_LOG_HZ
+    mels = np.where(
+        log_region,
+        _MIN_LOG_MEL + np.log(np.maximum(f, _MIN_LOG_HZ) / _MIN_LOG_HZ) / _LOGSTEP,
+        mels,
+    )
+    return mels
+
+
+def mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    m = np.asanyarray(mels, dtype=np.float64)
+    freqs = m * _F_SP
+    log_region = m >= _MIN_LOG_MEL
+    freqs = np.where(
+        log_region,
+        _MIN_LOG_HZ * np.exp(_LOGSTEP * (np.maximum(m, _MIN_LOG_MEL) - _MIN_LOG_MEL)),
+        freqs,
+    )
+    return freqs
+
+
+@lru_cache(maxsize=None)
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """Triangular mel filterbank [n_mels, n_fft//2 + 1], float32.
+
+    Slaney-style mel scale with slaney area normalization — numerically
+    equivalent to librosa.filters.mel(..., htk=False, norm="slaney").
+    """
+    if fmax is None:
+        fmax = sr / 2.0
+    n_bins = n_fft // 2 + 1
+    fftfreqs = np.linspace(0.0, sr / 2.0, n_bins, dtype=np.float64)
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # slaney normalization: each filter has ~unit area
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)

@@ -1,0 +1,174 @@
+"""Framed matmul-STFT for TPU.
+
+Instead of cuFFT (the reference routes every spectrogram through `torch.stft`:
+vits/spectrogram.py:62, vits_extend/stft.py:65,89, vits_extend/stft_loss.py:23,
+vits_decoder/mrd.py:43, whisper/audio.py:91), we express the STFT as
+
+    frames[B, T_frames, n_fft] @ dft[n_fft, 2 * n_bins]
+
+which XLA tiles straight onto the MXU. The windowed DFT basis is a compile-time
+constant per (n_fft, win_length, window); magnitude is sqrt(re^2 + im^2 + eps).
+
+All four spectrogram conventions of the reference are reproduced exactly:
+
+  * `linear_spectrogram`  — vits/spectrogram.py:41-76  (reflect pre-pad
+    (n_fft-hop)/2, center=False, hann, eps=1e-6 under sqrt)
+  * `mel_spectrogram`     — vits/spectrogram.py:93-140 and
+    vits_extend/stft.py:89-110 (TacotronSTFT, eps=1e-9) with
+    log-clamp dynamic range compression
+  * `stft_loss` magnitude — vits_extend/stft_loss.py:12-29 (center=True,
+    reflect, hann(win), clamp 1e-7)
+  * MRD magnitude         — vits_decoder/mrd.py:39-46 (manual reflect pad,
+    center=False, NO window i.e. rectangular ones(win_length), no eps)
+
+Outputs are [B, frames, bins] (time-major, channels-last — the TPU-friendly
+layout); the reference's [B, bins, frames] callers transpose at the edge.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import mel_filterbank
+
+
+@lru_cache(maxsize=None)
+def _windowed_dft(n_fft: int, win_length: int, window: str) -> np.ndarray:
+    """[n_fft, 2*n_bins] windowed DFT basis: [cos | sin] columns, float32.
+
+    The window (periodic hann, matching torch.hann_window, or rectangular
+    'ones') of length win_length is zero-padded centered to n_fft, exactly as
+    torch.stft does, then folded into the basis.
+    """
+    n_bins = n_fft // 2 + 1
+    if window == "hann":
+        n = np.arange(win_length, dtype=np.float64)
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    elif window == "ones":
+        w = np.ones(win_length, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    pad_l = (n_fft - win_length) // 2
+    w_full = np.zeros(n_fft, dtype=np.float64)
+    w_full[pad_l : pad_l + win_length] = w
+
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    phase = 2.0 * np.pi * k * n / n_fft
+    basis = np.concatenate([np.cos(phase), np.sin(phase)], axis=1)
+    return (w_full[:, None] * basis).astype(np.float32)
+
+
+def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
+    """[..., L] -> [..., num_frames, frame_length] with num_frames = 1+(L-fl)//hop."""
+    L = y.shape[-1]
+    num_frames = 1 + (L - frame_length) // hop
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    return y[..., idx]
+
+
+def stft_magnitude(
+    y: jax.Array,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    *,
+    window: str = "hann",
+    center: bool = False,
+    mag_eps: float = 0.0,
+    mag_clamp: float = 0.0,
+) -> jax.Array:
+    """Magnitude STFT, [B, T] -> [B, frames, n_fft//2+1], float32.
+
+    center=True reflect-pads n_fft//2 on both sides (torch.stft default).
+    mag_eps is added under the sqrt; mag_clamp floors the power first.
+    """
+    y = y.astype(jnp.float32)
+    if center:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)], mode="reflect")
+    frames = frame_signal(y, n_fft, hop)
+    basis = jnp.asarray(_windowed_dft(n_fft, win_length, window))
+    spec = jnp.einsum("...tf,fk->...tk", frames, basis, preferred_element_type=jnp.float32)
+    n_bins = n_fft // 2 + 1
+    power = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+    if mag_clamp > 0.0:
+        power = jnp.maximum(power, mag_clamp)
+    return jnp.sqrt(power + mag_eps)
+
+
+def _vits_prepad(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    pad = int((n_fft - hop) / 2)
+    return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def linear_spectrogram(y: jax.Array, n_fft: int, hop: int, win_length: int) -> jax.Array:
+    """VITS linear spectrogram (reference vits/spectrogram.py:41-76).
+
+    [B, T] -> [B, frames, n_fft//2+1]; eps 1e-6 under the sqrt.
+    """
+    y = _vits_prepad(y, n_fft, hop)
+    return stft_magnitude(y, n_fft, hop, win_length, center=False, mag_eps=1e-6)
+
+
+def dynamic_range_compression(x: jax.Array, clip_val: float = 1e-5) -> jax.Array:
+    """log(clamp(x, min=clip_val)) — reference vits/spectrogram.py:10-16."""
+    return jnp.log(jnp.maximum(x, clip_val))
+
+
+def mel_spectrogram(
+    y: jax.Array,
+    n_fft: int,
+    num_mels: int,
+    sampling_rate: int,
+    hop: int,
+    win_length: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    *,
+    mag_eps: float = 1e-9,
+) -> jax.Array:
+    """Log-mel spectrogram, [B, T] -> [B, frames, num_mels].
+
+    Matches TacotronSTFT.mel_spectrogram (reference vits_extend/stft.py:76-110,
+    mag eps 1e-9) used for the training mel loss; pass mag_eps=1e-6 for the
+    vits/spectrogram.py:93-140 variant.
+    """
+    y = _vits_prepad(y, n_fft, hop)
+    mag = stft_magnitude(y, n_fft, hop, win_length, center=False, mag_eps=mag_eps)
+    mel_w = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax).T)
+    mel = jnp.einsum("...tf,fm->...tm", mag, mel_w, preferred_element_type=jnp.float32)
+    return dynamic_range_compression(mel)
+
+
+def spec_to_mel(spec: jax.Array, n_fft: int, num_mels: int, sampling_rate: int,
+                fmin: float, fmax: float | None) -> jax.Array:
+    """[B, frames, bins] linear magnitude -> log-mel (vits/spectrogram.py:79-90)."""
+    mel_w = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax).T)
+    mel = jnp.einsum("...tf,fm->...tm", spec, mel_w, preferred_element_type=jnp.float32)
+    return dynamic_range_compression(mel)
+
+
+def stft_loss_magnitude(y: jax.Array, n_fft: int, hop: int, win_length: int) -> jax.Array:
+    """Magnitude used by the MR-STFT loss (vits_extend/stft_loss.py:12-29).
+
+    torch.stft defaults: center=True, reflect pad; power clamped at 1e-7.
+    [B, T] -> [B, frames, bins].
+    """
+    return stft_magnitude(
+        y, n_fft, hop, win_length, center=True, mag_clamp=1e-7
+    )
+
+
+def mrd_magnitude(y: jax.Array, n_fft: int, hop: int, win_length: int) -> jax.Array:
+    """Magnitude fed to the MRD discriminators (vits_decoder/mrd.py:39-46).
+
+    Quirk preserved: manual reflect pre-pad of (n_fft-hop)/2, center=False and
+    NO window function (rectangular ones(win_length) zero-padded to n_fft).
+    [B, T] -> [B, frames, bins].
+    """
+    y = _vits_prepad(y, n_fft, hop)
+    return stft_magnitude(y, n_fft, hop, win_length, window="ones", center=False)
