@@ -1,0 +1,240 @@
+"""Convolution primitives in [B, T, C] (channels-last) layout.
+
+XLA lowers `lax.conv_general_dilated` with NHC/HIO dimension numbers straight
+onto the MXU, which is why the whole framework keeps time-major channels-last
+tensors (the reference's torch code is [B, C, T]; transposition happens only in
+checkpoint conversion).
+
+Weight normalization (w = g * v / ||v||) is implemented as an explicit
+reparameterization so training dynamics match the reference's
+`torch.nn.utils.weight_norm` wrapping (e.g. vits/modules.py:153-176,
+vits_decoder/generator.py:72-81); inference folds it away via
+`fold_weight_norm` on the param pytree.
+
+Kernel layout: (K, I, O) for Conv1d/ConvTranspose1d, (Kh, Kw, I, O) for
+Conv2d. Weight-norm'ed convs store `v` (same layout) and `g`; torch's
+`weight_norm(dim=0)` reduces over all-but-dim-0, which for Conv1d means a
+per-O norm over (K, I) and for ConvTranspose1d (torch weight (I, O, K), dim0
+= I) a per-I norm over (K, O).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _torch_conv_init(fan_in: int):
+    """torch nn.Conv default: kaiming_uniform(a=sqrt(5)) == U(-b, b), b=1/sqrt(fan_in)."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _wn_kernel(v: jax.Array, g: jax.Array, norm_axes: Sequence[int]) -> jax.Array:
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=tuple(norm_axes), keepdims=True))
+    return g * v / (norm + 1e-12)
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d semantics on [B, T, C] input.
+
+    `padding` is the torch-style symmetric integer pad (in dilated-tap units).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    zero_init: bool = False    # zero kernel+bias (reference coupling post conv)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        if self.zero_init:
+            kernel = self.param("kernel", nn.initializers.zeros, kshape)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+            )
+            return y + bias if self.use_bias else y
+        if self.weight_norm:
+            v = self.param("v", _torch_conv_init(fan_in), kshape)
+            # g initialized to ||v|| so w == v at init (torch weight_norm behavior)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
+                ).reshape(shape),
+                (1, 1, self.features),
+            )
+            kernel = _wn_kernel(v, g, (0, 1))
+        else:
+            kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d semantics on [B, T, C] input.
+
+    out_len = (T - 1) * stride - 2 * padding + kernel_size.
+    Implemented as an input-dilated (fractionally strided) conv, the form XLA
+    schedules best on TPU (reference upsampler: vits_decoder/generator.py:72-81).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch, self.features)
+        # torch fan_in for ConvTranspose1d init: out_channels * kernel_size
+        fan_in = self.features * self.kernel_size
+        if self.weight_norm:
+            v = self.param("v", _torch_conv_init(fan_in), kshape)
+            # torch weight_norm(dim=0) on (I, O, K) weight -> per-input-channel g
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 2), keepdims=True)
+                ).reshape(shape),
+                (1, in_ch, 1),
+            )
+            kernel = _wn_kernel(v, g, (0, 2))
+        else:
+            kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d semantics on [B, H, W, C] input (used by MPD/MRD)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, in_ch, self.features)
+        fan_in = in_ch * kh * kw
+        if self.weight_norm:
+            v = self.param("v", _torch_conv_init(fan_in), kshape)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True)
+                ).reshape(shape),
+                (1, 1, 1, self.features),
+            )
+            kernel = _wn_kernel(v, g, (0, 1, 2))
+        else:
+            kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class Dense(nn.Module):
+    """torch.nn.Linear-compatible dense layer (kernel [in, out])."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", _torch_conv_init(in_ch), (in_ch, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(in_ch), (self.features,))
+            y = y + bias
+        return y
+
+
+def fold_weight_norm(params):
+    """Fold every {v, g} weight-norm pair in a param pytree into a plain kernel.
+
+    Equivalent of the reference's `remove_weight_norm()` calls before inference
+    (vits/models.py:241-243). Returns a new pytree where weight-norm'ed conv
+    params are {kernel: w, bias: ...}; modules must then be constructed with
+    weight_norm=False and folded=True params.
+    """
+
+    def fold(d):
+        if isinstance(d, dict):
+            if "v" in d and "g" in d:
+                v, g = d["v"], d["g"]
+                if v.ndim == 3 and g.shape[0] == 1 and g.shape[1] == 1:
+                    axes = (0, 1)
+                elif v.ndim == 3:
+                    axes = (0, 2)
+                else:
+                    axes = (0, 1, 2)
+                out = {"kernel": np.asarray(_wn_kernel(jnp.asarray(v), jnp.asarray(g), axes))}
+                if "bias" in d:
+                    out["bias"] = d["bias"]
+                return out
+            return {k: fold(v) for k, v in d.items()}
+        return d
+
+    return fold(params)
