@@ -1,0 +1,112 @@
+"""End-to-end training-loop test on a synthetic data_svc cache.
+
+Builds a miniature on-disk dataset in the reference's cache layout
+(wave/spec/pitch/vec/ppg/spk + filelist), runs a few real optimizer steps
+through the full loop (buckets -> shard -> jitted GAN step), saves and
+re-loads a checkpoint, and warm-starts from the export.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from whisper_vits_svc_tpu.data.dataset import BucketBatcher, SvcDataset
+from whisper_vits_svc_tpu.train import checkpoint as ckpt
+from whisper_vits_svc_tpu.utils.audio_io import save_wav
+from whisper_vits_svc_tpu.utils.testing import tiny_hp
+
+
+@pytest.fixture
+def data_dir(tmp_path, rng):
+    hp = tiny_hp()
+    hop = hp.data.hop_length
+    sr = hp.data.sampling_rate
+    seg_frames = hp.data.segment_size // hop  # 8
+    rows = []
+    for i in range(6):
+        frames = int(rng.integers(seg_frames * 5, seg_frames * 17))  # 40..136
+        d = tmp_path / f"item{i}"
+        d.mkdir()
+        wav = (rng.standard_normal(frames * hop) * 0.1).astype(np.float32)
+        save_wav(str(d / "a.wav"), wav, sr)
+        np.save(d / "a.spec.npy",
+                np.abs(rng.standard_normal((frames, hp.data.filter_length // 2 + 1))).astype(np.float32))
+        np.save(d / "a.pit.npy", rng.uniform(100, 400, frames + 1).astype(np.float32))
+        # 320-hop features get x2 repeated at load -> store half+2 frames
+        half = frames // 2 + 2
+        np.save(d / "a.vec.npy", rng.standard_normal((half, hp.vits.vec_dim)).astype(np.float32))
+        np.save(d / "a.ppg.npy", rng.standard_normal((half, hp.vits.ppg_dim)).astype(np.float32))
+        np.save(d / "a.spk.npy", rng.standard_normal(hp.vits.spk_dim).astype(np.float32))
+        rows.append("|".join([
+            str(d / "a.wav"), str(d / "a.spec.npy"), str(d / "a.pit.npy"),
+            str(d / "a.vec.npy"), str(d / "a.ppg.npy"), str(d / "a.spk.npy"),
+        ]))
+    fl = tmp_path / "train.txt"
+    fl.write_text("\n".join(rows))
+    return tmp_path, fl, hp
+
+
+def test_dataset_and_batcher(data_dir, rng):
+    tmp_path, fl, hp = data_dir
+    ds = SvcDataset(str(fl), hp.data)
+    assert len(ds) > 0
+    ex = ds.get(0, rng)
+    t = ex["ppg"].shape[0]
+    assert ex["vec"].shape[0] == t and ex["pit"].shape[0] == t
+    assert ex["spec"].shape[0] == t
+    assert len(ex["audio"]) == t * hp.data.hop_length
+
+    batcher = BucketBatcher(ds, batch_size=2, boundaries=(32, 64, 96, 128, 160))
+    batches = list(batcher.epoch_batches(0))
+    assert batches, "no batches produced"
+    for b in batches:
+        t_pad = b["ppg"].shape[1]
+        assert t_pad in (64, 96, 128)  # bucket upper bounds (max_frames=128)
+        assert b["audio"].shape[1] == t_pad * hp.data.hop_length
+        assert (b["ppg_l"] <= t_pad).all()
+    # epoch-seeded shuffle is deterministic
+    b0 = list(batcher.epoch_batches(3))
+    b1 = list(batcher.epoch_batches(3))
+    np.testing.assert_array_equal(b0[0]["ppg_l"], b1[0]["ppg_l"])
+
+
+def test_train_loop_end_to_end(data_dir, tmp_path):
+    from whisper_vits_svc_tpu.train.loop import train
+
+    tmp_path_, fl, hp = data_dir
+    hp["data"]["training_files"] = str(fl)
+    hp["data"]["validation_files"] = str(fl)
+    hp["train"]["pretrain"] = ""
+    hp["train"]["epochs"] = 10000
+    hp["log"] = dict(info_interval=2, eval_interval=10000, save_interval=1,
+                     num_audio=0, pth_dir=str(tmp_path_ / "chkpt"),
+                     log_dir=str(tmp_path_ / "logs"), keep_ckpts=2)
+    hp["dist"] = dict(coordinator_address=None, num_processes=1, process_id=0)
+
+    g_state, d_state, step = train(hp, "t", max_epochs=1, max_steps=3)
+    assert step == 3
+
+    ckpts = os.listdir(os.path.join(str(tmp_path_ / "chkpt"), "t"))
+    assert any(f.endswith(".ckpt") for f in ckpts)
+
+    # resume restores step/epoch and params load back exactly
+    path = os.path.join(str(tmp_path_ / "chkpt"), "t", sorted(ckpts)[-1])
+    payload = ckpt.load(path)
+    assert payload["step"] == 3
+    import jax
+
+    from whisper_vits_svc_tpu.train.step import init_train_states
+
+    g2, d2, *_ = init_train_states(hp, jax.random.PRNGKey(0))
+    g2, d2, step2, epoch2 = ckpt.restore_states(g2, d2, payload)
+    np.testing.assert_allclose(
+        jax.tree.leaves(g2.params)[0],
+        np.asarray(jax.tree.leaves(g_state.params)[0]), rtol=1e-6,
+    )
+
+    # inference export drops posterior/classifier branches
+    export_path = str(tmp_path_ / "export.ckpt")
+    ckpt.export_inference(export_path, g_state.params)
+    exported = ckpt.load(export_path)["model_g"]
+    assert "enc_q" not in exported and "enc_p" in exported and "dec" in exported

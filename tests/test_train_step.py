@@ -1,0 +1,64 @@
+"""Train-step tests: single-device convergence sanity + 8-way data-parallel SPMD.
+
+The tiny-config GAN step must (a) run and produce finite losses, (b) actually
+update both param trees, (c) compile and execute with the batch sharded over
+the full 8-device virtual mesh (the NCCL-DDP replacement path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_vits_svc_tpu.parallel import mesh as pmesh
+from whisper_vits_svc_tpu.train.step import (
+    init_train_states, make_train_step, set_learning_rate,
+)
+from whisper_vits_svc_tpu.utils.config import config_from_dict
+from whisper_vits_svc_tpu.utils.testing import synthetic_batch as make_batch, tiny_hp
+
+
+def test_train_step_runs_and_updates():
+    hp = tiny_hp()
+    rng = np.random.default_rng(0)
+    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(hp, g_model, d_model))
+
+    batch = make_batch(hp, rng)
+    g0 = jax.tree.leaves(g_state.params)[0].copy()
+    d0 = jax.tree.leaves(d_state.params)[0].copy()
+    metrics = None
+    for i in range(2):  # accum_step=2 -> G applies on 2nd call
+        g_state, d_state, metrics = step(
+            g_state, d_state, batch, jax.random.PRNGKey(10 + i)
+        )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.allclose(jax.tree.leaves(g_state.params)[0], g0), "G params frozen"
+    assert not np.allclose(jax.tree.leaves(d_state.params)[0], d0), "D params frozen"
+
+    # per-epoch LR decay plumbing
+    g_state = set_learning_rate(g_state, 1e-4)
+    d_state = set_learning_rate(d_state, 1e-4)
+    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(99))
+    assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_train_step_data_parallel_8dev():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    hp = tiny_hp(batch_size=8)
+    rng = np.random.default_rng(1)
+    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    mesh = pmesh.create_mesh()
+    step = jax.jit(make_train_step(hp, g_model, d_model))
+
+    batch = pmesh.shard_batch(make_batch(hp, rng, b=8), mesh)
+    g_state = pmesh.replicate(g_state, mesh)
+    d_state = pmesh.replicate(d_state, mesh)
+    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(3))
+    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert np.isfinite(float(metrics["loss_d"]))
+    # params stay replicated (no accidental resharding)
+    leaf = jax.tree.leaves(g_state.params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,171 @@
+"""The training loop — reference vits_extend/train.py:62-311, TPU-native.
+
+Single SPMD process per host: the jitted train step runs over the (data,
+model) mesh (no mp.spawn / DDP wrappers); per-epoch exponential LR decay;
+rank-0 checkpointing/validation/logging; warm-start from either our msgpack
+checkpoints or reference .pth checkpoints (auto-converted).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.dataset import BucketBatcher, SvcDataset, boundaries_for
+from ..parallel import mesh as pmesh
+from ..utils.config import Config
+from . import checkpoint as ckpt
+from .losses import mel_l1_loss
+from .step import init_train_states, make_train_step, set_learning_rate
+from .writer import TrainWriter
+
+
+def train(hp: Config, name: str, chkpt_path: str | None = None,
+          max_epochs: int | None = None, max_steps: int | None = None):
+    seed = hp.train.seed
+    rng = jax.random.PRNGKey(seed)
+
+    pmesh.initialize_distributed(
+        hp.dist.get("coordinator_address"), hp.dist.get("num_processes", 1),
+        hp.dist.get("process_id", 0),
+    )
+    # data-axis size must divide the per-host batch; unused devices idle rather
+    # than erroring (matters only for tiny test batches)
+    import math as _math
+
+    n_dev = len(jax.devices())
+    n_data = _math.gcd(hp.train.batch_size * jax.process_count(), n_dev)
+    mesh = pmesh.create_mesh(num_data=n_data, devices=jax.devices()[:n_data])
+    num_replicas = jax.process_count()
+
+    g_state, d_state, g_model, d_model = init_train_states(hp, rng)
+    train_step = jax.jit(make_train_step(hp, g_model, d_model))
+
+    init_epoch, step = 1, 0
+    pretrain = hp.train.get("pretrain", "")
+    if pretrain and os.path.isfile(pretrain):
+        payload = (
+            ckpt.load_torch_pretrain(pretrain)
+            if pretrain.endswith((".pth", ".pt"))
+            else ckpt.load(pretrain)
+        )
+        g_state, d_state = ckpt.warm_start(g_state, d_state, payload)
+        print(f"Start from pretrain model: {pretrain}")
+    if chkpt_path is not None:
+        payload = ckpt.load(chkpt_path)
+        g_state, d_state, step, init_epoch = ckpt.restore_states(
+            g_state, d_state, payload
+        )
+        if payload.get("hp_raw") and payload["hp_raw"] != hp.get("raw", ""):
+            print("WARNING: new hparams differ from checkpoint; using new.")
+        print(f"Resumed from {chkpt_path} at epoch {init_epoch}, step {step}")
+
+    g_state = pmesh.replicate(g_state, mesh)
+    d_state = pmesh.replicate(d_state, mesh)
+
+    dataset = SvcDataset(hp.data.training_files, hp.data)
+    batcher = BucketBatcher(
+        dataset, hp.train.batch_size, boundaries=boundaries_for(hp.data),
+        num_replicas=num_replicas, rank=jax.process_index(), seed=seed,
+    )
+    val_ds = SvcDataset(hp.data.validation_files, hp.data)
+
+    pth_dir = os.path.join(hp.log.pth_dir, name)
+    log_dir = os.path.join(hp.log.log_dir, name)
+    writer = None
+    if pmesh.is_primary():
+        os.makedirs(pth_dir, exist_ok=True)
+        writer = TrainWriter(log_dir, hp.data.sampling_rate)
+
+    end_epoch = max_epochs or hp.train.epochs
+    lr0, gamma = hp.train.learning_rate, hp.train.lr_decay
+    sr, hop = hp.data.sampling_rate, hp.data.hop_length
+
+    for epoch in range(init_epoch, end_epoch + 1):
+        lr = lr0 * gamma ** (epoch - 1)
+        g_state = set_learning_rate(g_state, lr)
+        d_state = set_learning_rate(d_state, lr / hp.train.accum_step)
+
+        if pmesh.is_primary() and epoch % hp.log.eval_interval == 0 and len(val_ds):
+            mel = validate(hp, g_model, g_state.params, val_ds, writer, step)
+            print(f"epoch {epoch} | validation mel {mel:.4f} | step {step}")
+
+        t_last, samples_done = time.perf_counter(), 0
+        for batch in batcher.epoch_batches(epoch):
+            batch = pmesh.shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            g_state, d_state, metrics = train_step(g_state, d_state, batch, step_rng)
+            step += 1
+            samples_done += batch["audio"].shape[0] * batch["audio"].shape[1]
+            if pmesh.is_primary() and step % hp.log.info_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t_last
+                metrics["audio_seconds_per_s"] = samples_done / sr / dt
+                metrics["steps_per_s"] = hp.log.info_interval / dt
+                t_last, samples_done = time.perf_counter(), 0
+                writer.log_training(metrics, step)
+                print(
+                    "epoch %d | g %.04f m %.04f s %.04f d %.04f k %.04f r %.04f "
+                    "i %.04f | step %d" % (
+                        epoch, metrics["loss_g"], metrics["loss_m"],
+                        metrics["loss_s"], metrics["loss_d"], metrics["loss_k"],
+                        metrics["loss_r"], metrics["loss_i"], step,
+                    )
+                )
+            if max_steps is not None and step >= max_steps:
+                break
+
+        if pmesh.is_primary() and epoch % hp.log.save_interval == 0:
+            path = os.path.join(pth_dir, f"{name}_{epoch:04d}.ckpt")
+            ckpt.save(path, g_state, d_state, step, epoch, hp.get("raw", ""))
+            print(f"Saved checkpoint to: {path}")
+            ckpt.clean_checkpoints(pth_dir, name, hp.log.keep_ckpts)
+
+        if max_steps is not None and step >= max_steps:
+            break
+
+    if writer is not None:
+        writer.close()
+    return g_state, d_state, step
+
+
+def validate(hp, g_model, g_params, val_ds: SvcDataset, writer, step: int) -> float:
+    """Full-utterance mel-L1 validation (vits_extend/validation.py:6-46)."""
+    data_cfg = dict(
+        filter_length=hp.data.filter_length, mel_channels=hp.data.mel_channels,
+        sampling_rate=hp.data.sampling_rate, hop_length=hp.data.hop_length,
+        win_length=hp.data.win_length, mel_fmin=hp.data.mel_fmin,
+        mel_fmax=hp.data.mel_fmax,
+    )
+    hop = hp.data.hop_length
+    pad_to = val_ds.max_frames
+    total = 0.0
+    for idx in range(len(val_ds)):
+        ex = val_ds.get(idx)
+        t = ex["ppg"].shape[0]
+        ppg = np.zeros((1, pad_to, ex["ppg"].shape[1]), np.float32)
+        vec = np.zeros((1, pad_to, ex["vec"].shape[1]), np.float32)
+        pit = np.zeros((1, pad_to), np.float32)
+        ppg[0, :t], vec[0, :t], pit[0, :t] = ex["ppg"], ex["vec"], ex["pit"]
+        fake = g_model.apply(
+            {"params": g_params}, ppg, vec, pit, ex["spk"][None], np.array([t]),
+            method=g_model.infer,
+            rngs={"noise": jax.random.PRNGKey(idx), "dropout": jax.random.PRNGKey(idx)},
+        )
+        n = min(t * hop, len(ex["audio"]))
+        fake_np = np.asarray(fake)[0, :n, 0]
+        real_np = ex["audio"][:n]
+        total += float(
+            mel_l1_loss(fake_np[None], real_np[None], data_cfg)
+        )
+        if writer is not None and idx < hp.log.num_audio:
+            writer.log_audio(f"fake/{idx}", fake_np, step)
+            if step == 0:
+                writer.log_audio(f"real/{idx}", real_np, step)
+    mel = total / max(len(val_ds), 1)
+    if writer is not None:
+        writer.log_validation(mel, step)
+    return mel

@@ -29,6 +29,9 @@ class Config(dict):
     def __setattr__(self, name: str, value: Any) -> None:
         self[name] = value
 
+    def __setitem__(self, name: str, value: Any) -> None:
+        super().__setitem__(name, Config._wrap(value))
+
     @staticmethod
     def _wrap(obj: Any) -> Any:
         if isinstance(obj, Mapping):
