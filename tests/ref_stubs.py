@@ -1,0 +1,85 @@
+"""Minimal stand-ins for reference-only dependencies (librosa/resampy/fsspec).
+
+The reference code at /root/reference imports these at module scope; the test
+image doesn't ship them. Only the entry points actually touched by our parity
+tests are provided. Installing the stubs BEFORE importing reference packages
+keeps the real reference code paths intact.
+"""
+
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+
+
+def _mod(name: str) -> types.ModuleType:
+    m = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec probes (e.g. transformers
+    # capability detection) don't choke on the stub
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
+def install():
+    if "librosa" not in sys.modules:
+        librosa = _mod("librosa")
+        filters = _mod("librosa.filters")
+
+        def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+            from whisper_vits_svc_tpu.ops.mel import mel_filterbank
+
+            return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+
+        filters.mel = mel
+        librosa.filters = filters
+        sequence = _mod("librosa.sequence")
+
+        def viterbi(prob, transition, p_init=None):
+            """Reference-grade HMM viterbi (librosa semantics: prob [S, T])."""
+            S, T = prob.shape
+            log_p = np.log(np.maximum(prob, 1e-30))
+            log_t = np.log(np.maximum(transition, 1e-30))
+            value = log_p[:, 0] + np.log(np.full(S, 1.0 / S) if p_init is None else p_init)
+            ptrs = np.zeros((T, S), np.int64)
+            for t in range(1, T):
+                scores = value[:, None] + log_t
+                ptrs[t] = scores.argmax(axis=0)
+                value = scores.max(axis=0) + log_p[:, t]
+            path = np.zeros(T, np.int64)
+            path[-1] = value.argmax()
+            for t in range(T - 1, 0, -1):
+                path[t - 1] = ptrs[t, path[t]]
+            return path
+
+        sequence.viterbi = viterbi
+        librosa.sequence = sequence
+        util = _mod("librosa.util")
+        util.normalize = lambda x, **kw: x / max(np.abs(x).max(), 1e-10)
+        librosa.util = util
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.filters"] = filters
+        sys.modules["librosa.sequence"] = sequence
+        sys.modules["librosa.util"] = util
+
+    if "resampy" not in sys.modules:
+        resampy = _mod("resampy")
+
+        def resample(audio, orig_sr, target_sr):
+            from whisper_vits_svc_tpu.utils.audio_io import resample as rs
+
+            return rs(audio, orig_sr, target_sr)
+
+        resampy.resample = resample
+        sys.modules["resampy"] = resampy
+
+    if "fsspec" not in sys.modules:
+        fsspec = _mod("fsspec")
+
+        def open(path, mode="r", **kw):  # noqa: A001
+            import builtins
+
+            return builtins.open(path, mode)
+
+        fsspec.open = open
+        sys.modules["fsspec"] = fsspec

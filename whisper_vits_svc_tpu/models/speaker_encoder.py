@@ -1,0 +1,155 @@
+"""LSTM d-vector speaker encoder + its mozilla-TTS audio frontend.
+
+Reference speaker/models/lstm.py:8-101 and speaker/utils/audio.py (config
+speaker_pretrain/config.json): 3x (LSTM-768 -> Linear-256 no-bias) stack,
+L2-normalized last frame; `compute_embedding` averages 10 sliding 250-frame
+windows. The LSTM recurrence is a lax.scan with torch gate order (i, f, g, o).
+
+Frontend: 16 kHz, preemphasis 0.98, STFT (1024/256/1024, center reflect),
+slaney mel 80 (fmin 0, fmax 8000), 20*log10 dB, symmetric [-4, 4] norm, and
+a -60 dB silence trim (audio.py:561-714).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from scipy.signal import lfilter
+
+from ..ops.mel import mel_filterbank
+from ..ops.stft import stft_magnitude
+
+
+class LSTMCellScan(nn.Module):
+    """Single-layer LSTM with torch parameterization, scanned over time."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """[B, T, D] -> [B, T, hidden]."""
+        d = x.shape[-1]
+        h = self.hidden_size
+        w_ih = self.param("w_ih", nn.initializers.xavier_normal(), (d, 4 * h))
+        w_hh = self.param("w_hh", nn.initializers.xavier_normal(), (h, 4 * h))
+        b_ih = self.param("b_ih", nn.initializers.zeros, (4 * h,))
+        b_hh = self.param("b_hh", nn.initializers.zeros, (4 * h,))
+
+        xw = jnp.einsum("btd,dk->btk", x, w_ih, preferred_element_type=jnp.float32) + b_ih
+
+        def step(carry, xt):
+            h_prev, c_prev = carry
+            gates = xt + h_prev @ w_hh + b_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h_new, c), h_new
+
+        b = x.shape[0]
+        init = (jnp.zeros((b, h)), jnp.zeros((b, h)))
+        _, hs = jax.lax.scan(step, init, xw.transpose(1, 0, 2))
+        return hs.transpose(1, 0, 2)
+
+
+class LSTMSpeakerEncoder(nn.Module):
+    input_dim: int = 80
+    proj_dim: int = 256
+    lstm_dim: int = 768
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """[B, T, 80] mel -> [B, 256] L2-normalized d-vector (last frame)."""
+        for i in range(self.num_layers):
+            x = LSTMCellScan(self.lstm_dim, name=f"lstm_{i}")(x)
+            w = self.param(f"proj_{i}", nn.initializers.xavier_normal(),
+                           (self.lstm_dim, self.proj_dim))
+            x = x @ w
+        d = x[:, -1]
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+
+
+def convert_speaker_encoder(sd) -> dict:
+    from . import convert as C
+
+    p = {}
+    for i in range(3):
+        b = f"layers.{i}"
+        p[f"lstm_{i}"] = {
+            "w_ih": C._np(sd[f"{b}.lstm.weight_ih_l0"]).T,
+            "w_hh": C._np(sd[f"{b}.lstm.weight_hh_l0"]).T,
+            "b_ih": C._np(sd[f"{b}.lstm.bias_ih_l0"]),
+            "b_hh": C._np(sd[f"{b}.lstm.bias_hh_l0"]),
+        }
+        p[f"proj_{i}"] = C._np(sd[f"{b}.linear.weight"]).T
+    return p
+
+
+def load_speaker_encoder(ckpt_path: str):
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return LSTMSpeakerEncoder(), convert_speaker_encoder(sd)
+
+
+# ---------------------------------------------------------------- frontend
+
+SR = 16000
+N_FFT = 1024
+HOP = 256
+WIN = 1024
+N_MELS = 80
+PREEMPHASIS = 0.98
+REF_DB = 20.0
+MIN_DB = -100.0
+MAX_NORM = 4.0
+TRIM_DB = 60.0
+
+
+def trim_silence(audio: np.ndarray, top_db: float = TRIM_DB,
+                 frame_length: int = WIN, hop_length: int = HOP) -> np.ndarray:
+    """librosa.effects.trim equivalent (audio.py:714)."""
+    n = 1 + max(len(audio) - frame_length, 0) // hop_length
+    if n == 0:
+        return audio
+    idx = np.arange(n)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    rms = np.sqrt(np.mean(np.square(audio[idx]), axis=1))
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10) / max(rms.max(), 1e-10))
+    keep = np.flatnonzero(db > -top_db)
+    if len(keep) == 0:
+        return audio[:0]
+    start = int(keep[0] * hop_length)
+    end = min(len(audio), int((keep[-1] + 1) * hop_length + frame_length))
+    return audio[start:end]
+
+
+def speaker_melspectrogram(audio: np.ndarray) -> np.ndarray:
+    """[T] 16 kHz float audio -> [frames, 80] normalized mel (audio.py:561-570)."""
+    emph = lfilter([1.0, -PREEMPHASIS], [1.0], audio).astype(np.float32)
+    pad = N_FFT // 2
+    y = np.pad(emph, (pad, pad), mode="reflect")
+    mag = np.asarray(stft_magnitude(jnp.asarray(y)[None], N_FFT, HOP, WIN))[0]
+    mel_w = mel_filterbank(SR, N_FFT, N_MELS, 0.0, 8000.0)
+    mel = mag @ mel_w.T
+    db = REF_DB * np.log10(np.maximum(1e-5, mel))
+    db = db - REF_DB
+    norm = (db - MIN_DB) / (-MIN_DB) * 2.0 * MAX_NORM - MAX_NORM
+    return np.clip(norm, -MAX_NORM, MAX_NORM).astype(np.float32)
+
+
+def compute_embedding(model: LSTMSpeakerEncoder, params, audio16k: np.ndarray,
+                      num_frames: int = 250, num_eval: int = 10,
+                      trim: bool = True) -> np.ndarray:
+    """Utterance -> 256-d d-vector, mean of 10 sliding windows (lstm.py:76-101)."""
+    if trim:
+        audio16k = trim_silence(audio16k)
+    mel = speaker_melspectrogram(audio16k)
+    max_len = mel.shape[0]
+    nf = min(num_frames, max_len)
+    offsets = np.linspace(0, max_len - nf, num=num_eval).astype(int)
+    batch = np.stack([mel[o : o + nf] for o in offsets])
+    emb = model.apply({"params": params}, jnp.asarray(batch))
+    return np.asarray(jnp.mean(emb, axis=0))

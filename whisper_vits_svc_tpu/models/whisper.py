@@ -1,0 +1,205 @@
+"""Whisper audio encoder (PPG content extractor) — TPU-native.
+
+The reference loads OpenAI Whisper large-v2, deletes the text decoder and the
+last quarter of encoder blocks (32 -> 24, whisper/inference.py:11-29), and
+extracts 1280-d PPG features in 15 s windows. Here only the encoder exists in
+the first place: a pre-norm transformer in flax with the same math
+(whisper/model.py:57-163), run in bf16 on the MXU (the reference uses fp16 on
+GPU) with all 15 s chunks of an utterance batched into ONE device call instead
+of a python loop of sequential 15 s inferences.
+
+The mel frontend reproduces whisper/audio.py:68-100 exactly: hann(400),
+hop 160, center=True reflect, power spectrum with the LAST FRAME DROPPED,
+log10 clamped at 1e-10, per-chunk max-8 floor, (x+4)/4 scaling.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.conv import Conv1d, Dense
+from ..ops.mel import mel_filterbank
+from ..ops.stft import stft_magnitude
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+N_MELS = 80
+HOP_LENGTH = 160
+WINDOW_SECONDS = 15
+WINDOW_SAMPLES = WINDOW_SECONDS * SAMPLE_RATE
+PPG_HOP = 320  # samples per PPG frame
+
+
+def log_mel_spectrogram(audio: jax.Array) -> jax.Array:
+    """[B, T] 16 kHz audio -> [B, frames, 80] whisper log-mel."""
+    mag2 = stft_magnitude(audio, N_FFT, HOP_LENGTH, N_FFT, center=True) ** 2
+    mag2 = mag2[:, :-1, :]  # whisper drops the final STFT frame (audio.py:92)
+    mel_w = jnp.asarray(mel_filterbank(SAMPLE_RATE, N_FFT, N_MELS).T)
+    mel = jnp.einsum("btf,fm->btm", mag2, mel_w, preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    # per-chunk dynamic floor over (time, mels)
+    floor = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+    log_spec = jnp.maximum(log_spec, floor)
+    return (log_spec + 4.0) / 4.0
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
+    log_inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+class WhisperAttention(nn.Module):
+    n_state: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        q = Dense(self.n_state, name="query")(x)
+        k = Dense(self.n_state, use_bias=False, name="key")(x)
+        v = Dense(self.n_state, name="value")(x)
+        b, t, _ = x.shape
+        hd = self.n_state // self.n_head
+        scale = hd**-0.25
+        qh = q.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3) * scale
+        kh = k.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3) * scale
+        vh = v.reshape(b, t, self.n_head, hd).transpose(0, 2, 1, 3)
+        qk = jnp.einsum("bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(qk, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", w, vh, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, self.n_state)
+        return Dense(self.n_state, name="out")(out)
+
+
+class WhisperBlock(nn.Module):
+    n_state: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_ln")(x)
+        x = x + WhisperAttention(self.n_state, self.n_head, name="attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")(x)
+        h = Dense(self.n_state * 4, name="mlp_0")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + Dense(self.n_state, name="mlp_2")(h)
+        return x
+
+
+class WhisperEncoder(nn.Module):
+    """AudioEncoder with the SVC 24-of-32-layer cut baked in (large-v2 dims)."""
+
+    n_mels: int = 80
+    n_ctx: int = 1500
+    n_state: int = 1280
+    n_head: int = 20
+    n_layer: int = 24
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        """mel [B, T, 80] -> PPG [B, T//2, n_state]."""
+        x = mel.astype(self.compute_dtype)
+        x = Conv1d(self.n_state, 3, padding=1, name="conv1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = Conv1d(self.n_state, 3, stride=2, padding=1, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        pos = jnp.asarray(sinusoids(self.n_ctx, self.n_state))[: x.shape[1]]
+        x = (x + pos).astype(x.dtype)
+        for i in range(self.n_layer):
+            x = WhisperBlock(self.n_state, self.n_head, name=f"blocks_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
+        return x.astype(jnp.float32)
+
+
+def convert_encoder(sd, n_layer: int = 24, prefix: str = "encoder") -> dict:
+    """torch Whisper state_dict -> WhisperEncoder flax params."""
+    from . import convert as C
+
+    p = {
+        "conv1": C.conv1d(sd, f"{prefix}.conv1"),
+        "conv2": C.conv1d(sd, f"{prefix}.conv2"),
+        "ln_post": {"scale": C._np(sd[f"{prefix}.ln_post.weight"]),
+                    "bias": C._np(sd[f"{prefix}.ln_post.bias"])},
+    }
+    for i in range(n_layer):
+        b = f"{prefix}.blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "attn": {
+                "query": C.dense(sd, f"{b}.attn.query"),
+                "key": C.dense(sd, f"{b}.attn.key"),
+                "value": C.dense(sd, f"{b}.attn.value"),
+                "out": C.dense(sd, f"{b}.attn.out"),
+            },
+            "attn_ln": {"scale": C._np(sd[f"{b}.attn_ln.weight"]),
+                        "bias": C._np(sd[f"{b}.attn_ln.bias"])},
+            "mlp_0": C.dense(sd, f"{b}.mlp.0"),
+            "mlp_2": C.dense(sd, f"{b}.mlp.2"),
+            "mlp_ln": {"scale": C._np(sd[f"{b}.mlp_ln.weight"]),
+                       "bias": C._np(sd[f"{b}.mlp_ln.bias"])},
+        }
+    return p
+
+
+def load_whisper_encoder(ckpt_path: str, compute_dtype=jnp.float32):
+    """Reference large-v2.pt -> (WhisperEncoder, params) with the 8-layer cut."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    dims = ckpt["dims"]
+    n_layer = dims["n_audio_layer"] - dims["n_audio_layer"] // 4
+    model = WhisperEncoder(
+        n_mels=dims["n_mels"], n_ctx=dims["n_audio_ctx"],
+        n_state=dims["n_audio_state"], n_head=dims["n_audio_head"],
+        n_layer=n_layer, compute_dtype=compute_dtype,
+    )
+    params = convert_encoder(ckpt["model_state_dict"], n_layer)
+    return model, params
+
+
+def pred_ppg(model: WhisperEncoder, params, audio16k: np.ndarray,
+             rng: jax.Array | None = None) -> np.ndarray:
+    """Whole-utterance PPG extraction (reference whisper/inference.py:32-62).
+
+    Chunks into 15 s windows (remainder as a short final chunk), adds the
+    +0.1 sigma mel noise when rng is given (inference behavior; pass None for
+    the training-prep path, prepare/preprocess_ppg.py:34-38), and concatenates
+    per-chunk outputs truncated to chunk_samples // 320 frames.
+
+    Full windows are batched into a single device call; XLA sees B equal-length
+    chunks instead of a sequential python loop.
+    """
+    audln = len(audio16k)
+    n_full = audln // WINDOW_SAMPLES
+
+    @jax.jit
+    def run(mel):
+        return model.apply({"params": params}, mel)
+
+    outs = []
+    if n_full > 0:
+        chunks = audio16k[: n_full * WINDOW_SAMPLES].reshape(n_full, WINDOW_SAMPLES)
+        mel = log_mel_spectrogram(jnp.asarray(chunks))
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            mel = mel + jax.random.normal(sub, mel.shape) * 0.1
+        ppg = np.asarray(run(mel))
+        outs.append(ppg[:, : WINDOW_SAMPLES // PPG_HOP, :].reshape(-1, ppg.shape[-1]))
+    rem = audln - n_full * WINDOW_SAMPLES
+    if rem > 0:
+        tail = audio16k[n_full * WINDOW_SAMPLES :]
+        mel = log_mel_spectrogram(jnp.asarray(tail)[None, :])
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            mel = mel + jax.random.normal(sub, mel.shape) * 0.1
+        ppg = np.asarray(model.apply({"params": params}, mel))
+        outs.append(ppg[0, : rem // PPG_HOP, :])
+    if not outs:
+        return np.zeros((0, model.n_state), np.float32)
+    return np.concatenate(outs, axis=0)
