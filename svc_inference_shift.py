@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Entry point mirroring the reference svc_inference_shift.py."""
+from whisper_vits_svc_tpu.cli.misc import inference_shift_main
+
+if __name__ == "__main__":
+    inference_shift_main()

@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Entry point mirroring the reference CLI surface (reference svc_trainer.py)."""
+from whisper_vits_svc_tpu.cli.trainer import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""svc_inference CLI — mirrors reference svc_inference.py:206-241.
+
+Auto-extracts missing features (in-process, no subprocess hops: the reference
+os.system's three python scripts, svc_inference.py:142-154), then runs chunked
+synthesis and writes svc_out.wav (+ svc_out_pit.wav excitation debug render).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..infer import pipeline
+from ..infer.retrieval import DummyRetrieval, create_retrieval
+from ..utils.audio_io import load_wav, save_wav
+from ..utils.config import load_config
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="svc_inference")
+    p.add_argument("--config", required=True, help="yaml config")
+    p.add_argument("--model", required=True, help="model checkpoint")
+    p.add_argument("--wave", required=True, help="input 16k/any wav")
+    p.add_argument("--spk", required=True, help="speaker embedding npy")
+    p.add_argument("--ppg", default=None, help="ppg npy (auto if absent)")
+    p.add_argument("--vec", default=None, help="hubert vec npy (auto)")
+    p.add_argument("--pit", default=None, help="pitch csv (auto)")
+    p.add_argument("--shift", type=int, default=0, help="semitones")
+    p.add_argument("--enable-retrieval", action="store_true")
+    p.add_argument("--retrieval-index-prefix", default="")
+    p.add_argument("--retrieval-ratio", type=float, default=0.5)
+    p.add_argument("--n-retrieval-vectors", type=int, default=3)
+    p.add_argument("--whisper-ckpt", default="whisper_pretrain/large-v2.pt")
+    p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
+    p.add_argument("--crepe-ckpt", default="crepe/assets/full.pth")
+    p.add_argument("--out", default="svc_out.wav")
+    return p
+
+
+def auto_extract(args) -> None:
+    audio16, _ = load_wav(args.wave, target_sr=16000)
+    if args.ppg is None:
+        args.ppg = "svc_tmp.ppg.npy"
+        if not os.path.isfile(args.ppg):
+            from ..models.whisper import load_whisper_encoder, pred_ppg
+
+            import jax
+
+            print(f"Auto run : whisper ppg -> {args.ppg}")
+            m, p = load_whisper_encoder(args.whisper_ckpt)
+            np.save(args.ppg, pred_ppg(m, p, audio16, rng=jax.random.PRNGKey(0)),
+                    allow_pickle=False)
+    if args.vec is None:
+        args.vec = "svc_tmp.vec.npy"
+        if not os.path.isfile(args.vec):
+            from ..models.hubert import load_hubert_soft, pred_vec
+
+            print(f"Auto run : hubert vec -> {args.vec}")
+            m, p = load_hubert_soft(args.hubert_ckpt)
+            np.save(args.vec, pred_vec(m, p, audio16), allow_pickle=False)
+    if args.pit is None:
+        args.pit = "svc_tmp.pit.csv"
+        if not os.path.isfile(args.pit):
+            from ..models.crepe import compute_f0_sing, load_crepe
+
+            print(f"Auto run : crepe pitch -> {args.pit}")
+            m, p = load_crepe(args.crepe_ckpt)
+            pit = compute_f0_sing(m, p, audio16, np.random.default_rng(0))
+            pipeline.save_csv_pitch(pit, args.pit)
+
+
+def main(argv=None):
+    main_from_namespace(build_argparser().parse_args(argv))
+
+
+def main_from_namespace(args):
+    hp = load_config(args.config)
+    auto_extract(args)
+
+    model = pipeline.build_infer_model(hp)
+    params = pipeline.load_svc_model(args.model, model, hp)
+    retrieval = (
+        create_retrieval(
+            True, args.retrieval_ratio, args.n_retrieval_vectors,
+            args.retrieval_index_prefix + "whisper.npz",
+            args.retrieval_index_prefix + "hubert.npz",
+        )
+        if args.enable_retrieval
+        else DummyRetrieval()
+    )
+
+    spk = np.load(args.spk)
+    ppg = np.repeat(np.load(args.ppg), 2, 0)  # 320 -> 160-hop x2
+    vec = np.repeat(np.load(args.vec), 2, 0)
+    pit = pipeline.load_csv_pitch(args.pit)
+    print("pitch shift: ", args.shift)
+    pit = pipeline.shift_pitch(pit, args.shift)
+
+    audio, source = pipeline.svc_infer(
+        model, params, retrieval, spk, pit, ppg, vec, hp, return_source=True
+    )
+    save_wav("svc_out_pit.wav", source, hp.data.sampling_rate)
+    save_wav(args.out, audio, hp.data.sampling_rate)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

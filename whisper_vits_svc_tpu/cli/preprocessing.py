@@ -1,0 +1,58 @@
+"""svc_preprocessing CLI — one in-process driver replaces the reference's 10
+sequential subprocesses (svc_preprocessing.py:14-25). Stages are idempotent;
+rerunning resumes where it stopped."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="svc_preprocessing")
+    p.add_argument("--dataset-raw", default="dataset_raw")
+    p.add_argument("--out", default="data_svc")
+    p.add_argument("--files", default="files")
+    p.add_argument("-c", "--config", default="configs/base.yaml")
+    p.add_argument("--whisper-ckpt", default="whisper_pretrain/large-v2.pt")
+    p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
+    p.add_argument("--crepe-ckpt", default="crepe_pretrain/full.pth")
+    p.add_argument("--speaker-ckpt", default="speaker_pretrain/best_model.pth.tar")
+    args = p.parse_args(argv)
+
+    from ..data.preprocess import Extractors, preprocess
+    from ..utils.config import load_config
+
+    hp = load_config(args.config)
+    ex = Extractors()
+    if os.path.isfile(args.crepe_ckpt):
+        from ..models.crepe import load_crepe
+
+        ex.crepe = load_crepe(args.crepe_ckpt)
+    else:
+        print(f"[skip] crepe checkpoint missing: {args.crepe_ckpt}")
+    if os.path.isfile(args.whisper_ckpt):
+        from ..models.whisper import load_whisper_encoder
+
+        ex.whisper = load_whisper_encoder(args.whisper_ckpt)
+    else:
+        print(f"[skip] whisper checkpoint missing: {args.whisper_ckpt}")
+    if os.path.isfile(args.hubert_ckpt):
+        from ..models.hubert import load_hubert_soft
+
+        ex.hubert = load_hubert_soft(args.hubert_ckpt)
+    else:
+        print(f"[skip] hubert checkpoint missing: {args.hubert_ckpt}")
+    if os.path.isfile(args.speaker_ckpt):
+        from ..models.speaker_encoder import load_speaker_encoder
+
+        ex.speaker = load_speaker_encoder(args.speaker_ckpt)
+    else:
+        print(f"[skip] speaker checkpoint missing: {args.speaker_ckpt}")
+
+    stats = preprocess(args.dataset_raw, args.out, args.files, hp.data, ex)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

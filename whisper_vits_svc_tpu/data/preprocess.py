@@ -1,0 +1,202 @@
+"""Unified preprocessing driver — replaces the 10 subprocess stages.
+
+The reference shells out to 10 sequential python processes
+(svc_preprocessing.py:14-25), each reloading its model. Here one driver runs
+idempotent stages over the same `data_svc/` cache layout (skip-if-exists like
+prepare/preprocess_ppg.py:69-70 gives restartability), with the heavy
+extractors batched on-device:
+
+  dataset_raw/<speaker>/*.wav
+    -> data_svc/waves-16k/<spk>/*.wav      (peak-0.6 int16, preprocess_a.py)
+    -> data_svc/waves-32k/<spk>/*.wav
+    -> data_svc/pitch/<spk>/*.pit.npy      (crepe full, hop 160)
+    -> data_svc/whisper/<spk>/*.ppg.npy    (24-layer large-v2, [T,1280])
+    -> data_svc/hubert/<spk>/*.vec.npy     ([T,256])
+    -> data_svc/speaker/<spk>/*.spk.npy    (256-d d-vector per utterance)
+    -> data_svc/singer/<spk>.spk.npy       (per-speaker mean)
+    -> data_svc/specs/<spk>/*.spec.npy     (linear spec [T,513] @32k hop 320)
+  files/train.txt, files/valid.txt         (existence-checked rows)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import linear_spectrogram
+from ..utils.audio_io import load_wav, save_wav
+
+
+def list_raw_wavs(dataset_raw: str) -> dict[str, list[str]]:
+    """speaker -> wav paths (prepare/preprocess_a.py directory convention)."""
+    out = {}
+    for spk in sorted(os.listdir(dataset_raw)):
+        d = os.path.join(dataset_raw, spk)
+        if os.path.isdir(d):
+            wavs = sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".wav")
+            )
+            if wavs:
+                out[spk] = wavs
+    return out
+
+
+@dataclass
+class Extractors:
+    """Injectable model bundle; any None skips its stage (checkpoints are
+    external artifacts, reference *_pretrain/README.md)."""
+
+    crepe: tuple | None = None            # (model, params)
+    whisper: tuple | None = None
+    hubert: tuple | None = None
+    speaker: tuple | None = None
+
+
+def _ensure(path):
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def preprocess(
+    dataset_raw: str,
+    out_dir: str = "data_svc",
+    files_dir: str = "files",
+    hp_data=None,
+    extractors: Extractors | None = None,
+    valid_count: int = 10,
+    seed: int = 1234,
+    progress: bool = True,
+) -> dict:
+    extractors = extractors or Extractors()
+    speakers = list_raw_wavs(dataset_raw)
+    stats = {"items": 0, "skipped": 0}
+    sr32 = 32000 if hp_data is None else hp_data.sampling_rate
+    n_fft = 1024 if hp_data is None else hp_data.filter_length
+    hop = 320 if hp_data is None else hp_data.hop_length
+    win = 1024 if hp_data is None else hp_data.win_length
+
+    def log(msg):
+        if progress:
+            print(msg)
+
+    for spk, wavs in speakers.items():
+        for sub in ["waves-16k", "waves-32k", "pitch", "whisper", "hubert",
+                    "speaker", "specs"]:
+            _ensure(os.path.join(out_dir, sub, spk))
+        _ensure(os.path.join(out_dir, "singer"))
+
+        for wav_path in wavs:
+            name = os.path.splitext(os.path.basename(wav_path))[0]
+            stats["items"] += 1
+
+            p16 = os.path.join(out_dir, "waves-16k", spk, name + ".wav")
+            p32 = os.path.join(out_dir, "waves-32k", spk, name + ".wav")
+            if not os.path.isfile(p16) or not os.path.isfile(p32):
+                audio, _ = load_wav(wav_path)
+                save_wav(p16, _resample_to(audio_src := audio, wav_path, 16000),
+                         16000, peak_norm=0.6)
+                save_wav(p32, _resample_to(audio_src, wav_path, sr32), sr32,
+                         peak_norm=0.6)
+
+            a16, _ = load_wav(p16)
+            a32, _ = load_wav(p32)
+
+            pit_path = os.path.join(out_dir, "pitch", spk, name + ".pit.npy")
+            if extractors.crepe is not None and not os.path.isfile(pit_path):
+                from ..models.crepe import compute_f0
+
+                m, p = extractors.crepe
+                np.save(pit_path, compute_f0(m, p, a16,
+                                             np.random.default_rng(seed)),
+                        allow_pickle=False)
+
+            ppg_path = os.path.join(out_dir, "whisper", spk, name + ".ppg.npy")
+            if extractors.whisper is not None and not os.path.isfile(ppg_path):
+                from ..models.whisper import pred_ppg
+
+                m, p = extractors.whisper
+                np.save(ppg_path, pred_ppg(m, p, a16, rng=None), allow_pickle=False)
+
+            vec_path = os.path.join(out_dir, "hubert", spk, name + ".vec.npy")
+            if extractors.hubert is not None and not os.path.isfile(vec_path):
+                from ..models.hubert import pred_vec
+
+                m, p = extractors.hubert
+                np.save(vec_path, pred_vec(m, p, a16), allow_pickle=False)
+
+            spk_path = os.path.join(out_dir, "speaker", spk, name + ".spk.npy")
+            if extractors.speaker is not None and not os.path.isfile(spk_path):
+                from ..models.speaker_encoder import compute_embedding
+
+                m, p = extractors.speaker
+                np.save(spk_path, compute_embedding(m, p, a16), allow_pickle=False)
+
+            spec_path = os.path.join(out_dir, "specs", spk, name + ".spec.npy")
+            if not os.path.isfile(spec_path):
+                spec = np.asarray(
+                    linear_spectrogram(jnp.asarray(a32)[None], n_fft, hop, win)
+                )[0]
+                np.save(spec_path, spec.astype(np.float32), allow_pickle=False)
+
+        # per-speaker average embedding (prepare/preprocess_speaker_ave.py)
+        singer_path = os.path.join(out_dir, "singer", spk + ".spk.npy")
+        embeds = [
+            np.load(os.path.join(out_dir, "speaker", spk, f))
+            for f in sorted(os.listdir(os.path.join(out_dir, "speaker", spk)))
+            if f.endswith(".spk.npy")
+        ]
+        if embeds and not os.path.isfile(singer_path):
+            np.save(singer_path, np.mean(embeds, axis=0), allow_pickle=False)
+        log(f"speaker {spk}: {len(wavs)} items done")
+
+    rows = build_filelists(out_dir, files_dir, valid_count, seed)
+    stats["rows"] = len(rows)
+    return stats
+
+
+def _resample_to(audio: np.ndarray, path: str, target_sr: int) -> np.ndarray:
+    from ..utils.audio_io import load_wav
+
+    a, _ = load_wav(path, target_sr=target_sr)
+    return a
+
+
+def build_filelists(out_dir: str, files_dir: str, valid_count: int = 10,
+                    seed: int = 1234) -> list[str]:
+    """Existence-checked train/valid rows (prepare/preprocess_train.py:33-68):
+    "wave|spec|pitch|hubert|whisper|spk"."""
+    rows = []
+    wav_root = os.path.join(out_dir, "waves-32k")
+    if not os.path.isdir(wav_root):
+        return rows
+    for spk in sorted(os.listdir(wav_root)):
+        for f in sorted(os.listdir(os.path.join(wav_root, spk))):
+            if not f.endswith(".wav"):
+                continue
+            name = f[:-4]
+            paths = [
+                os.path.join(out_dir, "waves-32k", spk, f),
+                os.path.join(out_dir, "specs", spk, name + ".spec.npy"),
+                os.path.join(out_dir, "pitch", spk, name + ".pit.npy"),
+                os.path.join(out_dir, "hubert", spk, name + ".vec.npy"),
+                os.path.join(out_dir, "whisper", spk, name + ".ppg.npy"),
+                os.path.join(out_dir, "speaker", spk, name + ".spk.npy"),
+            ]
+            missing = [p for p in paths if not os.path.isfile(p)]
+            if missing:
+                print(f"\033[31mmissing {missing[0]} — skipping {name}\033[0m")
+                continue
+            rows.append("|".join(paths))
+    random.Random(seed).shuffle(rows)
+    os.makedirs(files_dir, exist_ok=True)
+    valid = rows[:valid_count]
+    train = rows[valid_count:] if len(rows) > valid_count else rows
+    with open(os.path.join(files_dir, "valid.txt"), "w") as f:
+        f.write("\n".join(valid) + ("\n" if valid else ""))
+    with open(os.path.join(files_dir, "train.txt"), "w") as f:
+        f.write("\n".join(train) + ("\n" if train else ""))
+    return rows

@@ -1,0 +1,184 @@
+"""Chunked SVC synthesis — the svc_infer runtime.
+
+Reference svc_inference.py:77-134 semantics, XLA-shaped: the NSF harmonic
+source is generated ONCE for the whole utterance and sliced per chunk so the
+excitation phase is continuous across chunk boundaries (the trick that makes
+chunking artifact-free, SURVEY.md §5.7); 2500-frame (25 s) chunks with a
+10-frame overlap trimmed at the seams. Every chunk is right-padded to the
+static `out_chunk + 2*hop_frame` shape with a length mask, so the whole song
+runs through exactly ONE compiled program regardless of its duration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.synthesizer import SynthesizerInfer
+from ..train import checkpoint as ckpt
+from ..utils.config import Config
+
+MAX_WAV_VALUE = 32768.0
+
+
+def build_infer_model(hp: Config) -> SynthesizerInfer:
+    return SynthesizerInfer(
+        spec_channels=hp.data.filter_length // 2 + 1,
+        ppg_dim=hp.vits.ppg_dim,
+        vec_dim=hp.vits.vec_dim,
+        spk_dim=hp.vits.spk_dim,
+        inter_channels=hp.vits.inter_channels,
+        hidden_channels=hp.vits.hidden_channels,
+        filter_channels=hp.vits.filter_channels,
+        upsample_rates=tuple(hp.gen.upsample_rates),
+        upsample_kernel_sizes=tuple(hp.gen.upsample_kernel_sizes),
+        upsample_initial_channel=hp.gen.upsample_initial_channel,
+        resblock_kernel_sizes=tuple(hp.gen.resblock_kernel_sizes),
+        resblock_dilation_sizes=tuple(tuple(d) for d in hp.gen.resblock_dilation_sizes),
+        sampling_rate=hp.data.sampling_rate,
+    )
+
+
+def load_svc_model(path: str, model: SynthesizerInfer, hp: Config):
+    """Key-tolerant load from ours (.ckpt) or reference (.pth) checkpoints
+    (reference svc_inference.py:61-74)."""
+    import jax
+
+    dummy_t = 8
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, dummy_t, hp.vits.ppg_dim)),
+        jnp.zeros((1, dummy_t, hp.vits.vec_dim)),
+        jnp.full((1, dummy_t), 200.0),
+        jnp.zeros((1, hp.vits.spk_dim)),
+        jnp.full((1,), dummy_t, jnp.int32),
+        jnp.zeros((1, dummy_t * hp.data.hop_length, 1)),
+    )["params"]
+    if path.endswith((".pth", ".pt")):
+        import torch
+
+        from ..models import convert
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)["model_g"]
+        saved = convert.synthesizer_infer(sd)
+        return convert.merge_into(init, saved)
+    payload = ckpt.load(path)
+    return ckpt.merge_tolerant(init, payload["model_g"])
+
+
+def shift_pitch(pit: np.ndarray, semitones: float) -> np.ndarray:
+    """2^(s/12) scaling with source statistics print (svc_inference.py:187-199)."""
+    if semitones == 0:
+        return pit
+    voiced = pit[pit > 0]
+    if len(voiced):
+        print(
+            f"source pitch statics: mean={voiced.mean():0.1f}, "
+            f"min={voiced.min():0.1f}, max={voiced.max():0.1f}"
+        )
+    return pit * 2 ** (semitones / 12)
+
+
+def svc_infer(
+    model: SynthesizerInfer,
+    params,
+    retrieval,
+    spk: np.ndarray,
+    pit: np.ndarray,
+    ppg: np.ndarray,
+    vec: np.ndarray,
+    hp: Config,
+    noise_scale: float = 1.0,
+    seed: int = 0,
+    out_chunk: int = 2500,
+    hop_frame: int = 10,
+    return_source: bool = False,
+):
+    """-> float32 waveform [S] (and optionally the excitation waveform)."""
+    hop_size = hp.data.hop_length
+    len_min = min(len(pit), len(vec), len(ppg))
+    pit = np.asarray(pit, np.float32)[:len_min]
+    vec = np.asarray(vec, np.float32)[:len_min]
+    ppg = np.asarray(ppg, np.float32)[:len_min]
+    spk = np.asarray(spk, np.float32)[None, :]
+
+    source = np.asarray(
+        model.pitch2source(jnp.asarray(pit)[None, :])
+    )  # [1, S, 1], whole utterance
+
+    chunk_max = out_chunk + 2 * hop_frame
+
+    @jax.jit
+    def run_chunk(params, ppg_c, vec_c, pit_c, spk_c, length, source_c, rng):
+        return model.apply(
+            {"params": params}, ppg_c, vec_c, pit_c, spk_c, length, source_c,
+            noise_scale, rngs={"noise": rng},
+        )
+
+    out_audio = []
+    out_index = 0
+    chunk_i = 0
+    while out_index < len_min:
+        if out_index == 0:
+            cut_s, cut_s_out = 0, 0
+        else:
+            cut_s, cut_s_out = out_index - hop_frame, hop_frame * hop_size
+        if out_index + out_chunk + hop_frame > len_min:
+            cut_e, cut_e_out = len_min, None
+        else:
+            cut_e, cut_e_out = out_index + out_chunk + hop_frame, -hop_frame * hop_size
+
+        t = cut_e - cut_s
+        sub_ppg = retrieval.retriv_whisper(ppg[cut_s:cut_e])
+        sub_vec = retrieval.retriv_hubert(vec[cut_s:cut_e])
+        # pad to the static chunk shape; masking handles the tail
+        pad = chunk_max - t
+        sub_ppg = np.pad(sub_ppg, ((0, pad), (0, 0)))[None]
+        sub_vec = np.pad(sub_vec, ((0, pad), (0, 0)))[None]
+        sub_pit = np.pad(pit[cut_s:cut_e], (0, pad))[None]
+        sub_har = np.pad(
+            source[:, cut_s * hop_size : cut_e * hop_size], ((0, 0), (0, pad * hop_size), (0, 0))
+        )
+        sub_out = run_chunk(
+            params, sub_ppg, sub_vec, sub_pit, spk,
+            np.array([t], np.int32), sub_har,
+            jax.random.fold_in(jax.random.PRNGKey(seed), chunk_i),
+        )
+        sub_out = np.asarray(sub_out)[0, : t * hop_size, 0]
+        out_audio.append(sub_out[cut_s_out:cut_e_out])
+        out_index += out_chunk
+        chunk_i += 1
+
+    audio = np.concatenate(out_audio) if out_audio else np.zeros(0, np.float32)
+    if return_source:
+        return audio, source[0, :, 0]
+    return audio
+
+
+def source2wav(source: np.ndarray) -> np.ndarray:
+    """Excitation -> int16 debug waveform (generator.py:167-173)."""
+    audio = np.squeeze(source) * MAX_WAV_VALUE
+    return np.clip(audio, -MAX_WAV_VALUE, MAX_WAV_VALUE - 1).astype(np.int16)
+
+
+def save_csv_pitch(pitch: np.ndarray, path: str):
+    """Human-editable F0 CSV "Xm Ys Zms,f0" (pitch/inference.py:102-111)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for i, p in enumerate(pitch):
+            t = i * 10
+            minute = t // 60000
+            seconds = (t - minute * 60000) // 1000
+            millisecond = t % 1000
+            print(f"{minute}m {seconds}s {millisecond:3d},{int(p)}", file=f)
+
+
+def load_csv_pitch(path: str) -> np.ndarray:
+    """Reads the CSV back (integer Hz, pitch/inference.py:113-119)."""
+    pitch = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                pitch.append(int(line.strip().split(",")[-1]))
+    return np.asarray(pitch, np.float32)

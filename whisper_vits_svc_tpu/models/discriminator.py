@@ -105,6 +105,52 @@ class ScaleDiscriminator(nn.Module):
         return fmap, h.reshape(h.shape[0], -1)
 
 
+class MelspecDiscriminator(nn.Module):
+    """48 kHz mel-spectrogram discriminator (reference vits_decoder/med.py:6-65).
+
+    Present-but-unwired, exactly as in the reference (not part of the
+    composite Discriminator). GLU-gated BatchNorm conv stack over an HTK-mel
+    magnitude spectrogram; BatchNorm runs in inference mode (folded affine) —
+    wire it in and switch to train-mode statistics if you enable it for
+    training.
+    """
+
+    sample_rate: int = 48000
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        from ..ops.mel import mel_filterbank
+        from ..ops.stft import stft_magnitude
+
+        n_fft = 2048
+        win = int(0.025 * self.sample_rate)
+        hop = int(0.010 * self.sample_rate)
+        mag = stft_magnitude(x[..., 0], n_fft, hop, win, center=True)
+        mel_w = jnp.asarray(
+            mel_filterbank(self.sample_rate, n_fft, 128, htk=True, norm=None).T
+        )
+        mel = jnp.einsum("btf,fm->btm", mag, mel_w, preferred_element_type=jnp.float32)
+        h = jnp.log(mel + 1e-5)
+        # torch layout [B, 1, mels(H), frames(W)] -> NHWC [B, mels, frames, 1]
+        h = h.transpose(0, 2, 1)[..., None]
+
+        fmap = []
+        kernel_sizes = [(7, 7), (4, 4), (4, 4), (4, 4)]
+        strides = [(1, 2)] * 4
+        for i, (k, s) in enumerate(zip(kernel_sizes, strides)):
+            h = Conv2d(64, k, stride=s, padding=(1, 2), use_bias=False,
+                       name=f"convs_{i}")(h)
+            scale = self.param(f"bn{i}_scale", nn.initializers.ones, (64,))
+            bias = self.param(f"bn{i}_bias", nn.initializers.zeros, (64,))
+            h = h * scale + bias
+            a, b = jnp.split(h, 2, axis=-1)  # GLU over channels (torch dim=1)
+            h = a * jax.nn.sigmoid(b)
+            fmap.append(h)
+        h = Conv2d(1, (15, 3), stride=(1, 2), name="postnet")(h)
+        score = jnp.mean(h, axis=(1, 2, 3))
+        return [(fmap, score)]
+
+
 class Discriminator(nn.Module):
     """MRD + MPD + MSD composite (reference vits_decoder/discriminator.py:10-21)."""
 

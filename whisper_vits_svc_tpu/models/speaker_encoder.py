@@ -95,6 +95,117 @@ def load_speaker_encoder(ckpt_path: str):
     return LSTMSpeakerEncoder(), convert_speaker_encoder(sd)
 
 
+# ------------------------------------------------------- ResNet alternative
+
+
+class _BN(nn.Module):
+    """Inference-mode BatchNorm as folded per-channel affine."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return x * scale + bias
+
+
+class SEBasicBlock(nn.Module):
+    """Squeeze-excite ResNet block (reference speaker/models/resnet.py:26-56)."""
+
+    planes: int
+    stride: tuple[int, int] = (1, 1)
+    downsample: bool = False
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        from ..nn.conv import Conv2d, Dense
+
+        residual = x
+        out = Conv2d(self.planes, (3, 3), stride=self.stride, padding=(1, 1),
+                     use_bias=False, name="conv1")(x)
+        out = jax.nn.relu(out)
+        out = _BN(self.planes, name="bn1")(out)
+        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False,
+                     name="conv2")(out)
+        out = _BN(self.planes, name="bn2")(out)
+        # squeeze-excite
+        y = jnp.mean(out, axis=(1, 2))
+        y = jax.nn.relu(Dense(self.planes // self.reduction, name="se_fc1")(y))
+        y = jax.nn.sigmoid(Dense(self.planes, name="se_fc2")(y))
+        out = out * y[:, None, None, :]
+        if self.downsample:
+            residual = Conv2d(self.planes, (1, 1), stride=self.stride,
+                              use_bias=False, name="ds_conv")(x)
+            residual = _BN(self.planes, name="ds_bn")(residual)
+        return jax.nn.relu(out + residual)
+
+
+class ResNetSpeakerEncoder(nn.Module):
+    """H/ASP SE-ResNet d-vector (alternative encoder, reference resnet.py:59-180;
+    unused by the default pipeline there — kept for capability parity).
+    Input [B, T, input_dim] mel; output [B, proj_dim]."""
+
+    input_dim: int = 64
+    proj_dim: int = 512
+    layers: tuple[int, ...] = (3, 4, 6, 3)
+    num_filters: tuple[int, ...] = (32, 64, 128, 256)
+    encoder_type: str = "ASP"
+    log_input: bool = False
+
+    @nn.compact
+    def __call__(self, x, l2_norm: bool = False):
+        from ..nn.conv import Conv1d as _C1, Conv2d, Dense
+
+        if self.log_input:
+            x = jnp.log(x + 1e-6)
+        # instance norm over time per mel bin (torch InstanceNorm1d on [B, D, T])
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-5)
+        # torch NCHW [B, 1, D, T] -> NHWC [B, D, T, 1]
+        h = x.transpose(0, 2, 1)[..., None]
+
+        h = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), name="conv1")(h)
+        h = jax.nn.relu(h)
+        h = _BN(self.num_filters[0], name="bn1")(h)
+
+        inplanes = self.num_filters[0]
+        for li, (blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
+            stride = (1, 1) if li == 0 else (2, 2)
+            for bi in range(blocks):
+                down = bi == 0 and (stride != (1, 1) or inplanes != planes)
+                h = SEBasicBlock(
+                    planes, stride if bi == 0 else (1, 1), downsample=down,
+                    name=f"layer{li + 1}_{bi}",
+                )(h)
+            inplanes = planes
+
+        # [B, D/8, T', C] -> [B, C*(D/8), T'] (torch reshape semantics)
+        b = h.shape[0]
+        h = h.transpose(0, 3, 1, 2).reshape(b, -1, h.shape[2])  # [B, C*D/8, T']
+        feat = h.transpose(0, 2, 1)  # [B, T', F]
+        w = _C1(128, 1, name="att_conv1")(feat)
+        w = jax.nn.relu(w)
+        w = _BN(128, name="att_bn")(w)
+        w = _C1(feat.shape[-1], 1, name="att_conv2")(w)
+        w = jax.nn.softmax(w, axis=1)  # softmax over time (torch dim=2)
+
+        if self.encoder_type == "SAP":
+            pooled = jnp.sum(feat * w, axis=1)
+        else:  # ASP
+            mu = jnp.sum(feat * w, axis=1)
+            sg = jnp.sqrt(
+                jnp.clip(jnp.sum(jnp.square(feat) * w, axis=1) - jnp.square(mu), 1e-5)
+            )
+            pooled = jnp.concatenate([mu, sg], axis=1)
+        out = Dense(self.proj_dim, name="fc")(pooled)
+        if l2_norm:
+            out = out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-12)
+        return out
+
+
 # ---------------------------------------------------------------- frontend
 
 SR = 16000

@@ -260,7 +260,14 @@ class SynthesizerInfer(nn.Module):
         )
 
     def pitch2source(self, f0_frames, rng=None):
-        return self.dec.pitch2source(f0_frames, rng)
+        """Whole-utterance excitation; usable outside apply() — parameter-free
+        (reference vits/models.py:245-246)."""
+        import math
+
+        from ..nn.nsf import source_hn_nsf
+
+        hop = int(math.prod(self.upsample_rates))
+        return source_hn_nsf(f0_frames, hop, self.sampling_rate, rng)
 
     def __call__(self, ppg, vec, pit, spk, ppg_l, source, noise_scale: float = 1.0):
         """Chunked-inference step (models.py:251-256); source precomputed."""

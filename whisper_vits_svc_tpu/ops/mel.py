@@ -45,6 +45,14 @@ def mel_to_hz(mels: np.ndarray) -> np.ndarray:
     return freqs
 
 
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asanyarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asanyarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
 @lru_cache(maxsize=None)
 def mel_filterbank(
     sr: int,
@@ -52,19 +60,24 @@ def mel_filterbank(
     n_mels: int,
     fmin: float = 0.0,
     fmax: float | None = None,
+    htk: bool = False,
+    norm: str | None = "slaney",
 ) -> np.ndarray:
     """Triangular mel filterbank [n_mels, n_fft//2 + 1], float32.
 
-    Slaney-style mel scale with slaney area normalization — numerically
-    equivalent to librosa.filters.mel(..., htk=False, norm="slaney").
+    Default: slaney scale + slaney area norm == librosa.filters.mel defaults.
+    htk=True, norm=None matches torchaudio.transforms.MelSpectrogram defaults
+    (used by the reference's MED discriminator, vits_decoder/med.py:13).
     """
     if fmax is None:
         fmax = sr / 2.0
     n_bins = n_fft // 2 + 1
     fftfreqs = np.linspace(0.0, sr / 2.0, n_bins, dtype=np.float64)
 
-    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    hz_pts = mel_to_hz(mel_pts)
+    to_mel = hz_to_mel_htk if htk else hz_to_mel
+    to_hz = mel_to_hz_htk if htk else mel_to_hz
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = to_hz(mel_pts)
 
     fdiff = np.diff(hz_pts)
     ramps = hz_pts[:, None] - fftfreqs[None, :]
@@ -73,7 +86,8 @@ def mel_filterbank(
     upper = ramps[2:] / fdiff[1:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
 
-    # slaney normalization: each filter has ~unit area
-    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
-    weights *= enorm[:, None]
+    if norm == "slaney":
+        # slaney normalization: each filter has ~unit area
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        weights *= enorm[:, None]
     return weights.astype(np.float32)
