@@ -52,6 +52,10 @@ def main(argv=None):
 
     stats = preprocess(args.dataset_raw, args.out, args.files, hp.data, ex)
     print(stats)
+    if stats.get("rows"):
+        from ..data.preprocess import dataset_dry_run
+
+        dataset_dry_run(hp.data, args.files, hp.train.get("batch_size", 2))
 
 
 if __name__ == "__main__":

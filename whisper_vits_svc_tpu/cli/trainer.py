@@ -18,12 +18,15 @@ def main(argv=None):
     p.add_argument("-p", "--checkpoint_path", default=None)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof trace of steps 3..12 to this dir")
     args = p.parse_args(argv)
 
     hp = load_config(args.config)
     assert hp.data.hop_length == 320, "hop_length must be 320 (reference svc_trainer.py:27)"
     np.random.seed(hp.train.seed)
-    train(hp, args.name, args.checkpoint_path, args.max_epochs, args.max_steps)
+    train(hp, args.name, args.checkpoint_path, args.max_epochs, args.max_steps,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

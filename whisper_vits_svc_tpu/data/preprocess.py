@@ -158,6 +158,30 @@ def preprocess(
     return stats
 
 
+def dataset_dry_run(hp, files_dir: str = "files", batch_size: int = 2) -> int:
+    """Iterate the full dataset + one bucketed epoch so shape/file errors
+    surface before training (reference prepare/preprocess_zzz.py:11-31,
+    stage 10 of svc_preprocessing). Returns the number of batches."""
+    import numpy as np
+
+    from .dataset import BucketBatcher, SvcDataset, boundaries_for
+
+    ds = SvcDataset(os.path.join(files_dir, "train.txt"), hp)
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        ex = ds.get(i, rng)
+        t = ex["ppg"].shape[0]
+        assert ex["vec"].shape[0] == t and ex["spec"].shape[0] == t, i
+        assert len(ex["audio"]) == t * hp.hop_length, i
+    batcher = BucketBatcher(ds, batch_size, boundaries=boundaries_for(hp))
+    n = 0
+    for batch in batcher.epoch_batches(0):
+        assert np.isfinite(batch["ppg"]).all()
+        n += 1
+    print(f"dataset dry-run ok: {len(ds)} items, {n} batches")
+    return n
+
+
 def _resample_to(audio: np.ndarray, path: str, target_sr: int) -> np.ndarray:
     from ..utils.audio_io import load_wav
 

@@ -24,7 +24,8 @@ from .writer import TrainWriter
 
 
 def train(hp: Config, name: str, chkpt_path: str | None = None,
-          max_epochs: int | None = None, max_steps: int | None = None):
+          max_epochs: int | None = None, max_steps: int | None = None,
+          profile_dir: str | None = None, profile_steps: int = 10):
     seed = hp.train.seed
     rng = jax.random.PRNGKey(seed)
 
@@ -95,10 +96,17 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
 
         t_last, samples_done = time.perf_counter(), 0
         for batch in batcher.epoch_batches(epoch):
+            if profile_dir is not None and step == 2:
+                # skip compile steps, then capture an xprof trace window
+                jax.profiler.start_trace(profile_dir)
             batch = pmesh.shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             g_state, d_state, metrics = train_step(g_state, d_state, batch, step_rng)
             step += 1
+            if profile_dir is not None and step == 2 + profile_steps:
+                jax.block_until_ready(metrics["loss_g"])
+                jax.profiler.stop_trace()
+                profile_dir = None
             samples_done += batch["audio"].shape[0] * batch["audio"].shape[1]
             if pmesh.is_primary() and step % hp.log.info_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -165,6 +173,16 @@ def validate(hp, g_model, g_params, val_ds: SvcDataset, writer, step: int) -> fl
             writer.log_audio(f"fake/{idx}", fake_np, step)
             if step == 0:
                 writer.log_audio(f"real/{idx}", real_np, step)
+            if idx == 0:
+                from ..ops.stft import linear_spectrogram
+
+                spec_fake = np.asarray(linear_spectrogram(
+                    fake_np[None], hp.data.filter_length, hop, hp.data.win_length
+                ))[0].T  # [bins, frames]
+                spec_real = np.asarray(linear_spectrogram(
+                    real_np[None], hp.data.filter_length, hop, hp.data.win_length
+                ))[0].T
+                writer.log_fig_audio(real_np, fake_np, spec_fake, spec_real, idx, step)
     mel = total / max(len(val_ds), 1)
     if writer is not None:
         writer.log_validation(mel, step)

@@ -46,6 +46,28 @@ class TrainWriter:
         if self.tb is not None:
             self.tb.add_audio(tag, audio.reshape(1, -1), step, self.sample_rate)
 
+    def log_fig_audio(self, real, fake, spec_fake, spec_real, idx: int, step: int):
+        """Fake/real audio + waveform/spectrogram image panels
+        (reference vits_extend/writer.py:25-35); idx 0 only, like reference."""
+        if self.tb is None or idx != 0:
+            return
+        from .plotting import (
+            amplitude_to_db, plot_spectrogram_to_numpy, plot_waveform_to_numpy,
+        )
+
+        self.tb.add_image(f"spec_fake/{step}",
+                          plot_spectrogram_to_numpy(amplitude_to_db(spec_fake)),
+                          step, dataformats="HWC")
+        self.tb.add_image(f"spec_real/{step}",
+                          plot_spectrogram_to_numpy(amplitude_to_db(spec_real)),
+                          step, dataformats="HWC")
+        self.tb.add_image(f"wave_fake/{step}", plot_waveform_to_numpy(fake),
+                          step, dataformats="HWC")
+        self.tb.add_image(f"wave_real/{step}", plot_waveform_to_numpy(real),
+                          step, dataformats="HWC")
+        self.tb.add_audio(f"fake/{step}", fake.reshape(1, -1), step, self.sample_rate)
+        self.tb.add_audio(f"real/{step}", real.reshape(1, -1), step, self.sample_rate)
+
     def close(self):
         self.jsonl.close()
         if self.tb is not None:
