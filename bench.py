@@ -54,11 +54,16 @@ def main():
     out = synth(params, ppg, vec, pit, spk, lengths)
     out.block_until_ready()
 
-    iters = 10
+    # Perturb an input every iteration (rules out any result caching in the
+    # runtime) and block once at the end: device executions serialize while
+    # host dispatch overlaps, so this measures sustained device throughput.
+    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = synth(params, ppg, vec, pit, spk, lengths)
-    out.block_until_ready()
+    outs = []
+    for i in range(iters):
+        outs.append(synth(params, ppg, vec, pit + i * 1e-4, spk, lengths))
+    for o in outs:
+        o.block_until_ready()
     dt = time.perf_counter() - t0
 
     audio_seconds = iters * b * chunk_frames * hop / sr

@@ -95,9 +95,16 @@ def svc_infer(
     out_chunk: int = 2500,
     hop_frame: int = 10,
     return_source: bool = False,
+    compute_dtype=None,
 ):
-    """-> float32 waveform [S] (and optionally the excitation waveform)."""
+    """-> float32 waveform [S] (and optionally the excitation waveform).
+
+    compute_dtype=jnp.bfloat16 runs the synthesis graph in bf16 on the MXU
+    (params + activations cast; excitation synthesis and output stay f32).
+    """
     hop_size = hp.data.hop_length
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params)
     len_min = min(len(pit), len(vec), len(ppg))
     pit = np.asarray(pit, np.float32)[:len_min]
     vec = np.asarray(vec, np.float32)[:len_min]
@@ -112,10 +119,15 @@ def svc_infer(
 
     @jax.jit
     def run_chunk(params, ppg_c, vec_c, pit_c, spk_c, length, source_c, rng):
-        return model.apply(
+        if compute_dtype is not None:
+            ppg_c, vec_c, spk_c, source_c = (
+                x.astype(compute_dtype) for x in (ppg_c, vec_c, spk_c, source_c)
+            )
+        out = model.apply(
             {"params": params}, ppg_c, vec_c, pit_c, spk_c, length, source_c,
             noise_scale, rngs={"noise": rng},
         )
+        return out.astype(jnp.float32)
 
     out_audio = []
     out_index = 0

@@ -51,7 +51,7 @@ class TextEncoder(nn.Module):
         noise_scale scales the prior sample temperature (1.0 == reference
         models.py:51; 0.0 gives the deterministic mean path).
         """
-        x_mask = sequence_mask(lengths, ppg.shape[1])
+        x_mask = sequence_mask(lengths, ppg.shape[1]).astype(ppg.dtype)
         x = Conv1d(self.hidden_channels, 5, padding=2, name="pre")(ppg) * x_mask
         v = Conv1d(self.hidden_channels, 5, padding=2, name="hub")(vec) * x_mask
         pit_emb = nn.Embed(256, self.hidden_channels, name="pit",
@@ -81,7 +81,7 @@ class PosteriorEncoder(nn.Module):
     @nn.compact
     def __call__(self, spec, lengths, g, noise_scale: float = 1.0):
         """spec [B,T,513], g [B,gin] -> (z, m, logs, mask)."""
-        x_mask = sequence_mask(lengths, spec.shape[1])
+        x_mask = sequence_mask(lengths, spec.shape[1]).astype(spec.dtype)
         x = Conv1d(self.hidden_channels, 1, name="pre")(spec) * x_mask
         x = WN(
             self.hidden_channels, self.kernel_size, self.dilation_rate,

@@ -81,6 +81,7 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
         os.makedirs(pth_dir, exist_ok=True)
         writer = TrainWriter(log_dir, hp.data.sampling_rate)
 
+    infer_fn = None
     end_epoch = max_epochs or hp.train.epochs
     lr0, gamma = hp.train.learning_rate, hp.train.lr_decay
     sr, hop = hp.data.sampling_rate, hp.data.hop_length
@@ -91,11 +92,21 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
         d_state = set_learning_rate(d_state, lr / hp.train.accum_step)
 
         if pmesh.is_primary() and epoch % hp.log.eval_interval == 0 and len(val_ds):
-            mel = validate(hp, g_model, g_state.params, val_ds, writer, step)
+            if infer_fn is None:
+                infer_fn = jax.jit(
+                    lambda p, ppg, vec, pit, spk, l, rng: g_model.apply(
+                        {"params": p}, ppg, vec, pit, spk, l,
+                        method=g_model.infer,
+                        rngs={"noise": rng, "dropout": rng},
+                    )
+                )
+            mel = validate(hp, infer_fn, g_state.params, val_ds, writer, step)
             print(f"epoch {epoch} | validation mel {mel:.4f} | step {step}")
 
+        from ..data.prefetch import prefetch
+
         t_last, samples_done = time.perf_counter(), 0
-        for batch in batcher.epoch_batches(epoch):
+        for batch in prefetch(batcher.epoch_batches(epoch), depth=2):
             if profile_dir is not None and step == 2:
                 # skip compile steps, then capture an xprof trace window
                 jax.profiler.start_trace(profile_dir)
@@ -140,7 +151,7 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
     return g_state, d_state, step
 
 
-def validate(hp, g_model, g_params, val_ds: SvcDataset, writer, step: int) -> float:
+def validate(hp, infer_fn, g_params, val_ds: SvcDataset, writer, step: int) -> float:
     """Full-utterance mel-L1 validation (vits_extend/validation.py:6-46)."""
     data_cfg = dict(
         filter_length=hp.data.filter_length, mel_channels=hp.data.mel_channels,
@@ -158,10 +169,9 @@ def validate(hp, g_model, g_params, val_ds: SvcDataset, writer, step: int) -> fl
         vec = np.zeros((1, pad_to, ex["vec"].shape[1]), np.float32)
         pit = np.zeros((1, pad_to), np.float32)
         ppg[0, :t], vec[0, :t], pit[0, :t] = ex["ppg"], ex["vec"], ex["pit"]
-        fake = g_model.apply(
-            {"params": g_params}, ppg, vec, pit, ex["spk"][None], np.array([t]),
-            method=g_model.infer,
-            rngs={"noise": jax.random.PRNGKey(idx), "dropout": jax.random.PRNGKey(idx)},
+        fake = infer_fn(
+            g_params, ppg, vec, pit, ex["spk"][None],
+            np.asarray([t], np.int32), jax.random.PRNGKey(idx),
         )
         n = min(t * hop, len(ex["audio"]))
         fake_np = np.asarray(fake)[0, :n, 0]
