@@ -37,6 +37,21 @@ def test_pyin_on_tone_with_silence():
     assert np.mean(tail == 0) > 0.5
 
 
+def test_swipe_on_harmonic_tones():
+    from whisper_vits_svc_tpu.models.swipe import swipe
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f_true in [110.0, 220.0, 440.0]:
+        x = sum(np.sin(2 * np.pi * f_true * h * t) / h for h in range(1, 8))
+        f0, s = swipe((x * 0.2).astype(np.float32), sr)
+        v = f0[f0 > 0]
+        assert len(v) > 0.9 * len(f0)
+        assert abs(np.median(v) - f_true) / f_true < 0.01
+    f0_sil, _ = swipe(np.zeros(sr, np.float32), sr)
+    assert (f0_sil == 0).all()
+
+
 def test_crepe_threshold_and_decoders(rng):
     from whisper_vits_svc_tpu.models.crepe_extras import (
         At, Hysteresis, a_weighted_loudness, argmax_decode, weighted_argmax_decode,
