@@ -64,11 +64,18 @@ def _windowed_dft(n_fft: int, win_length: int, window: str) -> np.ndarray:
 
 
 def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """[..., L] -> [..., num_frames, frame_length] with num_frames = 1+(L-fl)//hop."""
-    L = y.shape[-1]
-    num_frames = 1 + (L - frame_length) // hop
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(frame_length)[None, :]
-    return y[..., idx]
+    """[..., L] -> [..., num_frames, frame_length] with num_frames = 1+(L-fl)//hop.
+
+    Uses XLA's sliding-window patch extraction (lowers to an efficient TPU
+    conv-style access pattern) rather than a multi-million-index gather.
+    """
+    lead = y.shape[:-1]
+    y2 = y.reshape((-1, y.shape[-1]))
+    patches = jax.lax.conv_general_dilated_patches(
+        y2[:, :, None], filter_shape=(frame_length,), window_strides=(hop,),
+        padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return patches.reshape(lead + patches.shape[1:])
 
 
 def stft_magnitude(
