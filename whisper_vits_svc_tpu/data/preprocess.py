@@ -217,8 +217,11 @@ def build_filelists(out_dir: str, files_dir: str, valid_count: int = 10,
             rows.append("|".join(paths))
     random.Random(seed).shuffle(rows)
     os.makedirs(files_dir, exist_ok=True)
+    # hold out at most half the data so tiny datasets keep a disjoint train set
+    # (the reference assumes >10 items and would leave train empty below that)
+    valid_count = min(valid_count, len(rows) // 2)
     valid = rows[:valid_count]
-    train = rows[valid_count:] if len(rows) > valid_count else rows
+    train = rows[valid_count:]
     with open(os.path.join(files_dir, "valid.txt"), "w") as f:
         f.write("\n".join(valid) + ("\n" if valid else ""))
     with open(os.path.join(files_dir, "train.txt"), "w") as f:

@@ -44,6 +44,11 @@ def _windowed_dft(n_fft: int, win_length: int, window: str) -> np.ndarray:
     'ones') of length win_length is zero-padded centered to n_fft, exactly as
     torch.stft does, then folded into the basis.
     """
+    if win_length > n_fft:
+        raise ValueError(
+            f"win_length ({win_length}) must be <= n_fft ({n_fft}) — check the "
+            "spectrogram / mrd.resolutions config"
+        )
     n_bins = n_fft // 2 + 1
     if window == "hann":
         n = np.arange(win_length, dtype=np.float64)
