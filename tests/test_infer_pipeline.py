@@ -76,6 +76,24 @@ def test_chunked_close_to_oneshot(tiny_infer, rng):
     assert jumps[seams - 1].max() <= jumps.max() * 1.5 + 1e-6
 
 
+def test_bf16_inference_close_to_f32(tiny_infer, rng):
+    import jax.numpy as jnp
+
+    hp, model, params = tiny_infer
+    t = 30
+    ppg, vec, pit, spk = _features(hp, rng, t)
+    kw = dict(noise_scale=0.0, out_chunk=t + 10, hop_frame=4)
+    f32 = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg, vec,
+                             hp, **kw)
+    bf16 = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg, vec,
+                              hp, compute_dtype=jnp.bfloat16, **kw)
+    assert bf16.dtype == np.float32 and len(bf16) == len(f32)
+    assert np.isfinite(bf16).all()
+    # bf16 rounding through ~60 conv layers: loose but bounded agreement
+    assert np.median(np.abs(bf16 - f32)) < 0.05
+    assert np.corrcoef(bf16, f32)[0, 1] > 0.9
+
+
 def test_retrieval_blend_math(rng):
     bank = rng.standard_normal((100, 16)).astype(np.float32)
     q = bank[:5] + 0.01  # near-duplicates of bank rows

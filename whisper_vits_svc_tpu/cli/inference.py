@@ -36,6 +36,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
     p.add_argument("--crepe-ckpt", default="crepe/assets/full.pth")
     p.add_argument("--out", default="svc_out.wav")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the synthesis graph in bfloat16 on the MXU")
     return p
 
 
@@ -98,8 +100,14 @@ def main_from_namespace(args):
     print("pitch shift: ", args.shift)
     pit = pipeline.shift_pitch(pit, args.shift)
 
+    compute_dtype = None
+    if getattr(args, "bf16", False):
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
     audio, source = pipeline.svc_infer(
-        model, params, retrieval, spk, pit, ppg, vec, hp, return_source=True
+        model, params, retrieval, spk, pit, ppg, vec, hp, return_source=True,
+        compute_dtype=compute_dtype,
     )
     save_wav("svc_out_pit.wav", source, hp.data.sampling_rate)
     save_wav(args.out, audio, hp.data.sampling_rate)

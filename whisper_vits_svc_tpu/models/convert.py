@@ -155,8 +155,25 @@ def coupling_block(sd: Mapping, name: str = "flow", n_flows: int = 4) -> dict:
     return p
 
 
-def generator(sd: Mapping, name: str = "dec", *, n_ups: int = 5,
-              n_kernels: int = 3) -> dict:
+def _count_generator_dims(sd: Mapping, name: str) -> tuple[int, int]:
+    """Infer (n_ups, n_kernels) from the state-dict keys."""
+    import re as _re
+
+    pre = _j(name, "")
+    ups = {int(m.group(1)) for k in sd
+           if (m := _re.match(rf"{_re.escape(name)}\.?ups\.(\d+)\.", k))}
+    res = {int(m.group(1)) for k in sd
+           if (m := _re.match(rf"{_re.escape(name)}\.?resblocks\.(\d+)\.", k))}
+    del pre
+    n_ups = (max(ups) + 1) if ups else 5
+    n_res = (max(res) + 1) if res else 15
+    return n_ups, max(n_res // n_ups, 1)
+
+
+def generator(sd: Mapping, name: str = "dec", *, n_ups: int | None = None,
+              n_kernels: int | None = None) -> dict:
+    if n_ups is None or n_kernels is None:
+        n_ups, n_kernels = _count_generator_dims(sd, name)
     p = {
         "adapter": {
             "w_scale_kernel": _np(sd[_j(name, "adapter.W_scale.weight")]).T,
@@ -222,14 +239,21 @@ def synthesizer_trn(sd: Mapping) -> dict:
 
 
 def discriminator(sd: Mapping) -> dict:
+    import re as _re
+
+    def count(prefix):
+        found = {int(m.group(1)) for k in sd
+                 if (m := _re.match(rf"{prefix}\.discriminators\.(\d+)\.", k))}
+        return (max(found) + 1) if found else 0
+
     p = {}
-    for i in range(4):
+    for i in range(count("MRD")):
         d = {}
         for j in range(5):
             d[f"convs_{j}"] = wn_conv2d(sd, f"MRD.discriminators.{i}.convs.{j}")
         d["conv_post"] = wn_conv2d(sd, f"MRD.discriminators.{i}.conv_post")
         p[f"mrd_{i}"] = d
-    for i in range(5):
+    for i in range(count("MPD")):
         d = {}
         for j in range(5):
             d[f"convs_{j}"] = wn_conv2d(sd, f"MPD.discriminators.{i}.convs.{j}")

@@ -94,14 +94,17 @@ class PosteriorEncoder(nn.Module):
         return z, m, logs, x_mask
 
 
-def rand_slice_segments_with_pitch(rng, z, pitch, lengths, segment_size):
+def rand_slice_segments_with_pitch(rng, z, pitch, lengths, segment_size,
+                                   ids=None):
     """Random aligned (z, pitch) slice per batch item (commons.py:8-26).
 
     Static output shapes: [B, segment_size, C] and [B, segment_size].
+    `ids` overrides the random offsets (deterministic tests).
     """
     b = z.shape[0]
-    ids_str_max = (lengths - segment_size + 1).astype(jnp.float32)
-    ids = (jax.random.uniform(rng, (b,)) * ids_str_max).astype(jnp.int32)
+    if ids is None:
+        ids_str_max = (lengths - segment_size + 1).astype(jnp.float32)
+        ids = (jax.random.uniform(rng, (b,)) * ids_str_max).astype(jnp.int32)
 
     def slice_one(zi, pi, idx):
         zs = jax.lax.dynamic_slice_in_dim(zi, idx, segment_size, axis=0)
@@ -186,22 +189,32 @@ class SynthesizerTrn(nn.Module):
             name="dec",
         )
 
-    def __call__(self, ppg, vec, pit, spec, spk, ppg_l, spec_l, train: bool = True):
-        """Full GAN-generator forward (models.py:183-200). pit: [B, T] Hz."""
+    def __call__(self, ppg, vec, pit, spec, spk, ppg_l, spec_l, train: bool = True,
+                 perturb: bool = True, noise_scale: float = 1.0,
+                 slice_ids=None):
+        """Full GAN-generator forward (models.py:183-200). pit: [B, T] Hz.
+
+        perturb=False / noise_scale=0.0 / slice_ids freeze every stochastic
+        node (loss-parity tests vs the reference with mocked torch RNG).
+        """
         rngs = {k: self.make_rng("noise") for k in ["ppg", "vec", "slice"]}
-        # data perturbation (models.py:184-185)
-        ppg = ppg + jax.random.normal(rngs["ppg"], ppg.shape, ppg.dtype) * 1.0
-        vec = vec + jax.random.normal(rngs["vec"], vec.shape, vec.dtype) * 2.0
+        if perturb:
+            # data perturbation (models.py:184-185)
+            ppg = ppg + jax.random.normal(rngs["ppg"], ppg.shape, ppg.dtype) * 1.0
+            vec = vec + jax.random.normal(rngs["vec"], vec.shape, vec.dtype) * 2.0
 
         spk_n = spk / jnp.linalg.norm(spk, axis=-1, keepdims=True).clip(1e-12)
         g = self.emb_g(spk_n)
         z_p, m_p, logs_p, ppg_mask, x = self.enc_p(
-            ppg, ppg_l, vec, f0_to_coarse(pit), train=train
+            ppg, ppg_l, vec, f0_to_coarse(pit), train=train,
+            noise_scale=noise_scale,
         )
-        z_q, m_q, logs_q, spec_mask = self.enc_q(spec, spec_l, g=g)
+        z_q, m_q, logs_q, spec_mask = self.enc_q(
+            spec, spec_l, g=g, noise_scale=noise_scale
+        )
 
         z_slice, pit_slice, ids_slice = rand_slice_segments_with_pitch(
-            rngs["slice"], z_q, pit, spec_l, self.segment_size
+            rngs["slice"], z_q, pit, spec_l, self.segment_size, ids=slice_ids
         )
         audio = self.dec(spk, z_slice, f0_frames=pit_slice, train=train)
 

@@ -101,7 +101,7 @@ class MultiHeadAttention(nn.Module):
 
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
-        p_attn = jax.nn.softmax(scores, axis=-1)
+        p_attn = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
         if self.p_dropout > 0:
             p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", p_attn, vh, preferred_element_type=jnp.float32)
@@ -111,7 +111,7 @@ class MultiHeadAttention(nn.Module):
             out = out + jnp.einsum(
                 "bhlm,nmd->bhld", rel_weights, value_rel, preferred_element_type=jnp.float32
             )
-        out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Dense(self.out_channels, name="conv_o")(out)
 
 

@@ -69,13 +69,13 @@ class Conv1d(nn.Module):
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = jax.lax.conv_general_dilated(
-                x, kernel, window_strides=(self.stride,),
+                x, kernel.astype(x.dtype), window_strides=(self.stride,),
                 padding=[(self.padding, self.padding)],
                 rhs_dilation=(self.dilation,),
                 dimension_numbers=("NHC", "HIO", "NHC"),
                 feature_group_count=self.groups,
             )
-            return y + bias if self.use_bias else y
+            return y + bias.astype(y.dtype) if self.use_bias else y
         if self.weight_norm:
             v = self.param("v", _torch_conv_init(fan_in), kshape)
             # g initialized to ||v|| so w == v at init (torch weight_norm behavior)
@@ -89,6 +89,7 @@ class Conv1d(nn.Module):
             kernel = _wn_kernel(v, g, (0, 1))
         else:
             kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        kernel = kernel.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -100,7 +101,7 @@ class Conv1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -139,6 +140,7 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
         pad = self.kernel_size - 1 - self.padding
+        kernel = kernel.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=0),
@@ -149,7 +151,7 @@ class ConvTranspose1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -181,6 +183,7 @@ class Conv2d(nn.Module):
             kernel = _wn_kernel(v, g, (0, 1, 2))
         else:
             kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
+        kernel = kernel.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -190,7 +193,7 @@ class Conv2d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -204,10 +207,10 @@ class Dense(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         kernel = self.param("kernel", _torch_conv_init(in_ch), (in_ch, self.features))
-        y = x @ kernel
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(in_ch), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

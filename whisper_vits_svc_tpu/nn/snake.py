@@ -65,7 +65,7 @@ def upsample1d(x: jax.Array, ratio: int = 2, kernel_size: int | None = None) -> 
     pad_right = pad * stride + (kernel_size - stride + 1) // 2
     C = x.shape[-1]
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    kernel = jnp.asarray(np.tile(filt[:, None, None], (1, 1, C)))  # depthwise HIO
+    kernel = jnp.asarray(np.tile(filt[:, None, None], (1, 1, C)), dtype=x.dtype)
 
     x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
     # conv_transpose == lhs-dilated conv with flipped kernel; sinc is symmetric
@@ -92,7 +92,7 @@ def downsample1d(x: jax.Array, ratio: int = 2, kernel_size: int | None = None) -
     pad_right = kernel_size // 2
     C = x.shape[-1]
     filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
-    kernel = jnp.asarray(np.tile(filt[:, None, None], (1, 1, C)))
+    kernel = jnp.asarray(np.tile(filt[:, None, None], (1, 1, C)), dtype=x.dtype)
 
     x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
     return jax.lax.conv_general_dilated(
@@ -118,8 +118,8 @@ class SnakeBeta(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         alpha = self.param("alpha", nn.initializers.zeros, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
-        a = jnp.exp(alpha)
-        b = jnp.exp(beta)
+        a = jnp.exp(alpha).astype(x.dtype)
+        b = jnp.exp(beta).astype(x.dtype)
         return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
 
 
