@@ -47,7 +47,9 @@ def sine_harmonics(
     noise_std: float = 0.003,
     voiced_threshold: float = 0.0,
     rng: jax.Array | None = None,
-) -> jax.Array:
+    phase0: jax.Array | None = None,
+    return_phase: bool = False,
+):
     """[B, T_frames] frame F0 -> [B, T_frames*hop, harmonic_num+1] gated sines.
 
     Semantics of SineGen.forward (nsf.py:284-316): harmonic k has frequency
@@ -55,6 +57,12 @@ def sine_harmonics(
     samples are replaced by noise of amplitude sine_amp/3, voiced samples get
     additive noise_std noise. rng=None disables both the random phases and the
     noise (deterministic mode for tests / reproducible inference).
+
+    Streaming: phase0 [B, harmonic_num+1] carries the fractional phase (in
+    cycles) from the end of the previous block; return_phase additionally
+    returns the end-of-block phase, making block-wise generation exactly
+    equal to whole-utterance generation (continuous excitation across
+    streaming chunk boundaries).
     """
     B, T = f0_frames.shape
     dim = harmonic_num + 1
@@ -67,8 +75,13 @@ def sine_harmonics(
     inc_frac = inc - jnp.floor(inc)
     # exclusive cumsum of fractional increments -> phase at frame start
     csum = jnp.cumsum(inc_frac, axis=1)
-    frame_base = jnp.concatenate([jnp.zeros((B, 1, dim)), csum[:, :-1, :]], axis=1)
+    start = jnp.zeros((B, 1, dim)) if phase0 is None else phase0[:, None, :]
+    frame_base = start + jnp.concatenate(
+        [jnp.zeros((B, 1, dim)), csum[:, :-1, :]], axis=1
+    )
     frame_base = frame_base - jnp.floor(frame_base)  # keep small for f32
+    phase_end = start[:, 0, :] + csum[:, -1, :]
+    phase_end = phase_end - jnp.floor(phase_end)
 
     if rng is not None:
         rng_phase, rng_noise = jax.random.split(rng)
@@ -94,7 +107,10 @@ def sine_harmonics(
         noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
     else:
         noise = 0.0
-    return sines * uv + noise
+    out = sines * uv + noise
+    if return_phase:
+        return out, phase_end
+    return out
 
 
 def source_hn_nsf(
@@ -105,13 +121,22 @@ def source_hn_nsf(
     sine_amp: float = 0.1,
     noise_std: float = 0.003,
     voiced_threshold: float = 0.0,
-) -> jax.Array:
+    phase0: jax.Array | None = None,
+    return_phase: bool = False,
+):
     """[B, T_frames] -> [B, T_frames*hop, 1] merged harmonic excitation.
 
     SourceModuleHnNSF.forward (nsf.py:383-394): fixed 11->1 linear + tanh.
+    phase0/return_phase enable streaming (see sine_harmonics).
     """
     sines = sine_harmonics(
-        f0_frames, hop, sampling_rate, 10, sine_amp, noise_std, voiced_threshold, rng
+        f0_frames, hop, sampling_rate, 10, sine_amp, noise_std,
+        voiced_threshold, rng, phase0=phase0, return_phase=return_phase,
     )
+    if return_phase:
+        sines, phase_end = sines
     merged = sines @ jnp.asarray(MERGE_W)[:, None] + MERGE_B
-    return jnp.tanh(merged)
+    out = jnp.tanh(merged)
+    if return_phase:
+        return out, phase_end
+    return out
