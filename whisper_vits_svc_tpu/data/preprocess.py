@@ -96,11 +96,11 @@ def preprocess(
             p16 = os.path.join(out_dir, "waves-16k", spk, name + ".wav")
             p32 = os.path.join(out_dir, "waves-32k", spk, name + ".wav")
             if not os.path.isfile(p16) or not os.path.isfile(p32):
-                audio, _ = load_wav(wav_path)
-                save_wav(p16, _resample_to(audio_src := audio, wav_path, 16000),
-                         16000, peak_norm=0.6)
-                save_wav(p32, _resample_to(audio_src, wav_path, sr32), sr32,
-                         peak_norm=0.6)
+                from ..utils.audio_io import resample
+
+                audio, src_sr = load_wav(wav_path)
+                save_wav(p16, resample(audio, src_sr, 16000), 16000, peak_norm=0.6)
+                save_wav(p32, resample(audio, src_sr, sr32), sr32, peak_norm=0.6)
 
             a16, _ = load_wav(p16)
             a32, _ = load_wav(p32)
@@ -180,13 +180,6 @@ def dataset_dry_run(hp, files_dir: str = "files", batch_size: int = 2) -> int:
         n += 1
     print(f"dataset dry-run ok: {len(ds)} items, {n} batches")
     return n
-
-
-def _resample_to(audio: np.ndarray, path: str, target_sr: int) -> np.ndarray:
-    from ..utils.audio_io import load_wav
-
-    a, _ = load_wav(path, target_sr=target_sr)
-    return a
 
 
 def build_filelists(out_dir: str, files_dir: str, valid_count: int = 10,

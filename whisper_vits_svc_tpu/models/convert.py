@@ -159,12 +159,10 @@ def _count_generator_dims(sd: Mapping, name: str) -> tuple[int, int]:
     """Infer (n_ups, n_kernels) from the state-dict keys."""
     import re as _re
 
-    pre = _j(name, "")
     ups = {int(m.group(1)) for k in sd
            if (m := _re.match(rf"{_re.escape(name)}\.?ups\.(\d+)\.", k))}
     res = {int(m.group(1)) for k in sd
            if (m := _re.match(rf"{_re.escape(name)}\.?resblocks\.(\d+)\.", k))}
-    del pre
     n_ups = (max(ups) + 1) if ups else 5
     n_res = (max(res) + 1) if res else 15
     return n_ups, max(n_res // n_ups, 1)

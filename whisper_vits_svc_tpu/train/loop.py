@@ -110,6 +110,7 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
             if profile_dir is not None and step == 2:
                 # skip compile steps, then capture an xprof trace window
                 jax.profiler.start_trace(profile_dir)
+            real_samples = int(batch["spec_l"].sum()) * hop
             batch = pmesh.shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             g_state, d_state, metrics = train_step(g_state, d_state, batch, step_rng)
@@ -118,7 +119,7 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
                 jax.block_until_ready(metrics["loss_g"])
                 jax.profiler.stop_trace()
                 profile_dir = None
-            samples_done += batch["audio"].shape[0] * batch["audio"].shape[1]
+            samples_done += real_samples
             if pmesh.is_primary() and step % hp.log.info_interval == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_last
