@@ -23,7 +23,9 @@ from ..utils.config import Config
 MAX_WAV_VALUE = 32768.0
 
 
-def build_infer_model(hp: Config) -> SynthesizerInfer:
+def build_infer_model(hp: Config, fast_edges: bool = True) -> SynthesizerInfer:
+    """fast_edges trades the outermost ~6 samples of each chunk (trimmed by
+    the overlap anyway) for skipping 91 materialized edge-pads per chunk."""
     return SynthesizerInfer(
         spec_channels=hp.data.filter_length // 2 + 1,
         ppg_dim=hp.vits.ppg_dim,
@@ -38,6 +40,7 @@ def build_infer_model(hp: Config) -> SynthesizerInfer:
         resblock_kernel_sizes=tuple(hp.gen.resblock_kernel_sizes),
         resblock_dilation_sizes=tuple(tuple(d) for d in hp.gen.resblock_dilation_sizes),
         sampling_rate=hp.data.sampling_rate,
+        snake_exact_edges=not fast_edges,
     )
 
 

@@ -69,6 +69,7 @@ class Generator(nn.Module):
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
     spk_dim: int = 256
     sampling_rate: int = 32000
+    snake_exact_edges: bool = True
 
     @property
     def hop(self) -> int:
@@ -127,10 +128,13 @@ class Generator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = AMPBlock(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                block = AMPBlock(ch, rk, tuple(rd),
+                                 snake_exact_edges=self.snake_exact_edges,
+                                 name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
 
-        x = SnakeAlias(ch, name="activation_post")(x)
+        x = SnakeAlias(ch, exact_edges=self.snake_exact_edges,
+                       name="activation_post")(x)
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)

@@ -250,6 +250,7 @@ class SynthesizerInfer(nn.Module):
     resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
     sampling_rate: int = 32000
+    snake_exact_edges: bool = True
 
     def setup(self):
         self.enc_p = TextEncoder(
@@ -269,6 +270,7 @@ class SynthesizerInfer(nn.Module):
             resblock_dilation_sizes=self.resblock_dilation_sizes,
             spk_dim=self.spk_dim,
             sampling_rate=self.sampling_rate,
+            snake_exact_edges=self.snake_exact_edges,
             name="dec",
         )
 

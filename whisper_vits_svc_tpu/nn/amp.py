@@ -22,11 +22,13 @@ class AMPBlock(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: tuple[int, ...] = (1, 3, 5)
+    snake_exact_edges: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for j, d in enumerate(self.dilation):
-            xt = SnakeAlias(self.channels, name=f"act1_{j}")(x)
+            xt = SnakeAlias(self.channels, exact_edges=self.snake_exact_edges,
+                            name=f"act1_{j}")(x)
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,
@@ -35,7 +37,8 @@ class AMPBlock(nn.Module):
                 weight_norm=True,
                 name=f"convs1_{j}",
             )(xt)
-            xt = SnakeAlias(self.channels, name=f"act2_{j}")(xt)
+            xt = SnakeAlias(self.channels, exact_edges=self.snake_exact_edges,
+                            name=f"act2_{j}")(xt)
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,

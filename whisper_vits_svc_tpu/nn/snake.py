@@ -189,16 +189,42 @@ def _depthwise_valid(x: jax.Array, taps: np.ndarray) -> jax.Array:
     )
 
 
+def _depthwise_pad(x: jax.Array, taps: np.ndarray, pad: tuple[int, int]) -> jax.Array:
+    C = x.shape[-1]
+    kernel = jnp.asarray(np.tile(taps[:, None, None], (1, 1, C)), dtype=x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[pad],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=C,
+    )
+
+
 def snake_alias_fused(x: jax.Array, alpha: jax.Array, beta: jax.Array,
-                      k_up: int = 12, k_down: int = 12) -> jax.Array:
+                      k_up: int = 12, k_down: int = 12,
+                      exact_edges: bool = True) -> jax.Array:
     """Fused polyphase up2 -> SnakeBeta -> down2 on [B, T, C].
 
-    Bit-compatible with downsample1d(SnakeBeta(upsample1d(x))) (edge clamping
-    included); see test_snake_fused_matches_reference.
+    exact_edges=True is bit-compatible with
+    downsample1d(SnakeBeta(upsample1d(x))) including the replicate-padded
+    boundaries (see test_snake_fused_matches_reference). exact_edges=False
+    zero-pads inside the convs instead — interior samples identical, only the
+    outermost ~6 samples differ; safe wherever chunk seams are overlap-trimmed
+    (the chunked/streaming inference paths) and it avoids materializing any
+    padded copy of the activation.
     """
     ae, ao, oe, oo, de, do_, doe, doo = _polyphase_taps(k_up, k_down)
     a = jnp.exp(alpha).astype(x.dtype)
     b = jnp.exp(beta).astype(x.dtype)
+
+    def snake(u):
+        return u + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(u * a))
+
+    if not exact_edges:
+        s_e = snake(_depthwise_pad(x, ae, (-oe, oe + len(ae) - 1)))
+        s_o = snake(_depthwise_pad(x, ao, (-oo, oo + len(ao) - 1)))
+        return (
+            _depthwise_pad(s_e, de, (-doe, doe + len(de) - 1))
+            + _depthwise_pad(s_o, do_, (-doo, doo + len(do_) - 1))
+        )
 
     # one clamped pad of x covering both phase convs
     m_lo = min(oe, oo)
@@ -208,9 +234,6 @@ def snake_alias_fused(x: jax.Array, alpha: jax.Array, beta: jax.Array,
     def up_phase(taps, off):
         start = off - m_lo
         return _depthwise_valid(xp[:, start : start + x.shape[1] + len(taps) - 1], taps)
-
-    def snake(u):
-        return u + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(u * a))
 
     s_e = snake(up_phase(ae, oe))
     s_o = snake(up_phase(ao, oo))
@@ -279,6 +302,7 @@ class SnakeAlias(nn.Module):
     up_kernel_size: int = 12
     down_kernel_size: int = 12
     fused: bool = True
+    exact_edges: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -287,7 +311,8 @@ class SnakeAlias(nn.Module):
             # the unfused path, so checkpoints are interchangeable
             alpha, beta = _ActParams(self.channels, name="act")()
             return snake_alias_fused(x, alpha, beta, self.up_kernel_size,
-                                     self.down_kernel_size)
+                                     self.down_kernel_size,
+                                     exact_edges=self.exact_edges)
         x = upsample1d(x, self.up_ratio, self.up_kernel_size)
         x = SnakeBeta(x.shape[-1], name="act")(x)
         return downsample1d(x, self.down_ratio, self.down_kernel_size)
