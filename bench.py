@@ -4,16 +4,47 @@ Prints ONE JSON line: audio-seconds synthesized per wall-second per chip on
 the flagship SynthesizerInfer graph (base config: 1280-d PPG, 6-layer rel-pos
 prior, 4-coupling SNAC flow, NSF-BigVGAN x320 decoder @ 32 kHz).
 
-vs_baseline is measured against 1.0x realtime — the reference states real-time
-conversion is NOT achievable with its stack (reference README.md:22), so any
-value > 1 beats the reference's published capability; BASELINE.md's north-star
-target is >= 5x realtime per chip.
+Methodology: the primary number comes from an xprof DEVICE trace (per-call
+device duration of the jitted program) — wall-clock through this chip's
+shared tunnel is unreliable in both directions (async dispatch that
+block_until_ready doesn't fully await, and minute-scale pool contention).
+Inputs are perturbed every call so no runtime result caching can help. If
+trace capture fails, falls back to per-call-blocked wall clock.
+
+vs_baseline is against 1.0x realtime — the reference states real-time
+conversion is NOT achievable with its stack (reference README.md:22);
+BASELINE.md's north-star target is >= 5x realtime per chip.
 """
 
+import glob
+import gzip
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
+
+
+def _device_ms_per_call(trace_dir: str, name_prefix: str = "jit_synth"):
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    device_pids = {
+        e["pid"] for e in trace.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "CPU" not in str(e.get("args", {}).get("name", ""))
+    }
+    spans = [
+        e for e in trace.get("traceEvents", [])
+        if e.get("ph") == "X" and e.get("pid") in device_pids
+        and e.get("name", "").startswith(name_prefix)
+    ]
+    if not spans:
+        return None
+    return sum(e["dur"] for e in spans) / len(spans) / 1e3
 
 
 def main():
@@ -54,31 +85,39 @@ def main():
     out = synth(params, ppg, vec, pit, spk, lengths)
     out.block_until_ready()
 
-    # Perturb an input every iteration (rules out any result caching in the
-    # runtime) and block once per round: device executions serialize while
-    # host dispatch overlaps, so each round measures sustained throughput.
-    # The chip is reached through a shared tunnel whose load varies by
-    # minutes; contention only ever slows rounds down, so the best of three
-    # rounds is the hardware capability.
-    iters = 20
-    best_dt = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(iters):
-            outs.append(synth(params, ppg, vec, pit + (r * iters + i) * 1e-4,
-                              spk, lengths))
-        for o in outs:
-            o.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    audio_seconds_per_call = b * chunk_frames * hop / sr
+    ms_per_call = None
+    method = "device_trace"
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        for i in range(4):
+            out = synth(params, ppg, vec, pit + i * 1e-4, spk, lengths)
+        out.block_until_ready()
+        jax.profiler.stop_trace()
+        ms_per_call = _device_ms_per_call(trace_dir)
+    except Exception:
+        ms_per_call = None
+    if ms_per_call is None:
+        method = "wall_clock_blocked"
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            for i in range(5):
+                out = synth(params, ppg, vec, pit + (10 + r * 5 + i) * 1e-4,
+                            spk, lengths)
+                out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / 5)
+        ms_per_call = best * 1e3
 
-    audio_seconds = iters * b * chunk_frames * hop / sr
-    rtf = audio_seconds / best_dt
+    rtf = audio_seconds_per_call / (ms_per_call / 1e3)
     print(json.dumps({
         "metric": "synthesis_realtime_factor",
-        "value": round(rtf, 3),
+        "value": round(rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(rtf / 1.0, 3),
+        "vs_baseline": round(rtf / 1.0, 2),
+        "method": method,
+        "device_ms_per_10s_chunk": round(ms_per_call, 2),
     }))
 
 

@@ -23,9 +23,11 @@ from ..utils.config import Config
 MAX_WAV_VALUE = 32768.0
 
 
-def build_infer_model(hp: Config, fast_edges: bool = True) -> SynthesizerInfer:
+def build_infer_model(hp: Config, fast_edges: bool = False) -> SynthesizerInfer:
     """fast_edges trades the outermost ~6 samples of each chunk (trimmed by
-    the overlap anyway) for skipping 91 materialized edge-pads per chunk."""
+    the overlap anyway) for skipping 91 materialized edge-pads per chunk.
+    Off by default: device traces showed XLA lowers the conv-internal zero
+    padding to selects that cost more than the pads they replace."""
     return SynthesizerInfer(
         spec_channels=hp.data.filter_length // 2 + 1,
         ppg_dim=hp.vits.ppg_dim,
