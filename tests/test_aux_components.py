@@ -112,3 +112,80 @@ def test_htk_mel_filterbank():
     fb = mel_filterbank(48000, 2048, 128, htk=True, norm=None)
     assert fb.shape == (128, 1025)
     assert (fb >= 0).all() and fb.max() <= 1.0 + 1e-6
+
+
+def test_salience_on_harmonic_tones():
+    from whisper_vits_svc_tpu.models.salience import salience
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f_true in [110.0, 220.0, 440.0]:
+        x = sum(np.sin(2 * np.pi * f_true * h * t) / h for h in range(1, 6))
+        f0, sal = salience((x * 0.2).astype(np.float32), fs=sr, hop=160)
+        assert abs(np.median(f0) - f_true) / f_true < 0.01, f_true
+        assert np.median(sal) > 0.5
+
+
+def test_salience_compute_f0_voicing_and_length():
+    from whisper_vits_svc_tpu.models.salience import compute_f0_salience
+
+    sr = 16000
+    audio = np.concatenate([_sine(220.0, seconds=0.5), np.zeros(8000, np.float32)])
+    f0 = compute_f0_salience(audio, fs=sr, hop=160)
+    assert len(f0) == 1 + len(audio) // 160
+    head = f0[: len(f0) // 3]
+    assert abs(np.median(head[head > 0]) - 220.0) / 220.0 < 0.02
+    tail = f0[2 * len(f0) // 3:]
+    assert np.mean(tail == 0) > 0.5
+
+
+def test_salience_sing_convention():
+    from whisper_vits_svc_tpu.models.salience import compute_f0_sing_salience
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = sum(np.sin(2 * np.pi * 220.0 * h * t) / h for h in range(1, 6))
+    f0 = compute_f0_sing_salience((x * 0.2).astype(np.float32), fs=sr)
+    # hop 320 repeated x2 -> 160-hop frame count
+    assert len(f0) == 2 * (1 + len(x) // 320)
+    mid = f0[10:-10]
+    assert abs(np.median(mid) - 220.0) / 220.0 < 0.01
+
+
+def test_dio_stonemask_on_harmonic_tones():
+    from whisper_vits_svc_tpu.models.dio import compute_f0_dio
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f_true in [110.0, 220.0, 440.0]:
+        x = sum(np.sin(2 * np.pi * f_true * h * t) / h for h in range(1, 6))
+        f0 = compute_f0_dio((x * 0.2).astype(np.float32), sr)
+        v = f0[f0 > 0]
+        assert len(v) > 0.9 * len(f0)
+        assert abs(np.median(v) - f_true) / f_true < 0.01, f_true
+    # tone + silence: unvoiced tail stays zero, length convention holds
+    aud = np.concatenate(
+        [0.3 * np.sin(2 * np.pi * 220 * t[:8000]), np.zeros(8000)]).astype(np.float32)
+    f0 = compute_f0_dio(aud, sr)
+    assert len(f0) == 1 + len(aud) // 160
+    assert np.mean(f0[60:] == 0) > 0.9
+
+
+def test_praat_ac_on_harmonic_tones():
+    from whisper_vits_svc_tpu.models.praat import compute_f0_mouth, to_pitch_ac
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f_true in [110.0, 220.0, 440.0]:
+        x = sum(np.sin(2 * np.pi * f_true * h * t) / h for h in range(1, 6))
+        f0 = to_pitch_ac((x * 0.2).astype(np.float32), sr)
+        v = f0[f0 > 0]
+        assert len(v) == len(f0)
+        assert abs(np.median(v) - f_true) / f_true < 0.005, f_true
+    aud = np.concatenate(
+        [0.3 * np.sin(2 * np.pi * 220 * t[:8000]), np.zeros(8000)]).astype(np.float32)
+    f0 = compute_f0_mouth(aud, sr)
+    assert len(f0) == 1 + len(aud) // 160
+    # reference pads 1024//160 = 6 zero frames each side (pitch/inference.py:21-27)
+    assert (f0[:6] == 0).all()
+    assert np.mean(f0[70:] == 0) > 0.9

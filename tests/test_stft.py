@@ -102,3 +102,16 @@ def test_mel_filterbank_properties():
     lo = int(50.0 / (16000.0 / 512)) + 2
     hi = int(16000.0 / (16000.0 / 512)) - 2
     assert (coverage[lo:hi] > 0).all()
+
+
+def test_stft_complex_parity_vs_torch(rng):
+    # librosa convention used by the salience engine (pitch/core/salience.py:132):
+    # center=True, constant pad, win_length == n_fft
+    n_fft, hop = 512, 160
+    y = (rng.standard_normal((1, 8000)) * 0.4).astype(np.float32)
+    re, im = jstft.stft_complex(y, n_fft, hop, n_fft, center=True, pad_mode="constant")
+    yt = torch.nn.functional.pad(torch.from_numpy(y), (n_fft // 2, n_fft // 2))
+    s = torch.stft(yt, n_fft, hop, n_fft, torch.hann_window(n_fft), center=False,
+                   return_complex=True)
+    np.testing.assert_allclose(np.asarray(re)[0].T, s[0].real.numpy(), rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im)[0].T, s[0].imag.numpy(), rtol=1e-4, atol=2e-3)

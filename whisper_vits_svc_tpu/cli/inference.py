@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--whisper-ckpt", default="whisper_pretrain/large-v2.pt")
     p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
     p.add_argument("--crepe-ckpt", default="crepe/assets/full.pth")
+    p.add_argument("--f0-engine", default="crepe",
+                   choices=["crepe", "salience", "swipe", "yin", "pyin",
+                            "dio", "praat"],
+                   help="pitch extractor for the auto --pit path (the reference"
+                        " exposes these as compute_f0_* in pitch/inference.py)")
     p.add_argument("--out", default="svc_out.wav")
     p.add_argument("--bf16", action="store_true",
                    help="run the synthesis graph in bfloat16 on the MXU")
@@ -65,11 +70,37 @@ def auto_extract(args) -> None:
     if args.pit is None:
         args.pit = "svc_tmp.pit.csv"
         if not os.path.isfile(args.pit):
-            from ..models.crepe import compute_f0_sing, load_crepe
+            engine = getattr(args, "f0_engine", "crepe")
+            print(f"Auto run : {engine} pitch -> {args.pit}")
+            if engine == "crepe":
+                from ..models.crepe import compute_f0_sing, load_crepe
 
-            print(f"Auto run : crepe pitch -> {args.pit}")
-            m, p = load_crepe(args.crepe_ckpt)
-            pit = compute_f0_sing(m, p, audio16, np.random.default_rng(0))
+                m, p = load_crepe(args.crepe_ckpt)
+                pit = compute_f0_sing(m, p, audio16, np.random.default_rng(0))
+            elif engine == "salience":
+                from ..models.salience import compute_f0_sing_salience
+
+                pit = compute_f0_sing_salience(audio16)
+            elif engine == "dio":
+                from ..models.dio import compute_f0_dio
+
+                pit = compute_f0_dio(audio16, 16000, hop=160)
+            elif engine == "praat":
+                from ..models.praat import compute_f0_mouth
+
+                pit = compute_f0_mouth(audio16, 16000, hop=160)
+            elif engine == "swipe":
+                from ..models.swipe import swipe
+
+                pit, _ = swipe(audio16, 16000, hop=160)
+            elif engine == "yin":
+                from ..models.f0_alt import yin
+
+                pit, _ = yin(audio16, fs=16000, hop=160)
+            else:  # pyin
+                from ..models.f0_alt import pyin
+
+                pit, _ = pyin(audio16, fs=16000, hop=160)
             pipeline.save_csv_pitch(pit, args.pit)
 
 

@@ -112,6 +112,36 @@ def stft_magnitude(
     return jnp.sqrt(power + mag_eps)
 
 
+def stft_complex(
+    y: jax.Array,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    *,
+    window: str = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> tuple[jax.Array, jax.Array]:
+    """Complex STFT as (real, imag), each [B, frames, n_fft//2+1].
+
+    Same MXU matmul-DFT as `stft_magnitude`, keeping phase — needed by the
+    salience F0 engine's instantaneous-frequency reassignment (the reference
+    routes this through librosa.stft, pitch/core/salience.py:134). librosa's
+    center=True pads n_fft//2 per side; pad_mode='constant' matches the
+    salience call site.
+    """
+    y = y.astype(jnp.float32)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        y = jnp.pad(y, pad, mode=pad_mode)
+    frames = frame_signal(y, n_fft, hop)
+    basis = jnp.asarray(_windowed_dft(n_fft, win_length, window))
+    spec = jnp.einsum("...tf,fk->...tk", frames, basis, preferred_element_type=jnp.float32)
+    n_bins = n_fft // 2 + 1
+    # basis columns are [cos | sin] of +2*pi*k*n/N; X_k = sum x (cos - i sin)
+    return spec[..., :n_bins], -spec[..., n_bins:]
+
+
 def _vits_prepad(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
     pad = int((n_fft - hop) / 2)
     return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
