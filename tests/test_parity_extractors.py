@@ -3,6 +3,7 @@
 Whisper encoder / HuBERT-soft / CREPE (real tiny checkpoint) / LSTM d-vector.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -168,3 +169,73 @@ def test_speaker_encoder_parity(rng):
     merged = _merge(ours, (jax.random.PRNGKey(0), jnp.asarray(mel)), params)
     y = ours.apply({"params": merged}, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(y), ref_y, rtol=1e-3, atol=1e-3)
+
+
+SILERO_JIT = "/root/reference/vad/assets/silero_vad.jit"
+
+
+def _vowel_like(sr: int = 16000, seconds: float = 2.0) -> np.ndarray:
+    """Pulse train at 120 Hz through 3 formant resonators with syllable-rate
+    AM — speech-like enough to drive the real silero network."""
+    from scipy.signal import lfilter
+
+    t = np.arange(int(sr * seconds)) / sr
+    x = np.zeros(len(t), np.float32)
+    x[:: int(sr / 120.0)] = 1.0
+    for fc, bw in [(500, 80), (1500, 120), (2500, 180)]:
+        r = np.exp(-np.pi * bw / sr)
+        th = 2 * np.pi * fc / sr
+        x = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r], x)
+    x = x / np.abs(x).max() * 0.5
+    return (x * (0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t))).astype(np.float32)
+
+
+@pytest.mark.skipif(not os.path.isfile(SILERO_JIT), reason="silero blob absent")
+def test_silero_vad_parity_vs_torchscript():
+    """Real silero_vad.jit weights: our JAX network must match the blob's
+    per-window speech probabilities (float32 accumulation + LSTM drift only)."""
+    from whisper_vits_svc_tpu.models.silero_vad import (
+        load_silero_vad, silero_speech_probs,
+    )
+
+    params = load_silero_vad(SILERO_JIT)
+    m = torch.jit.load(SILERO_JIT, map_location="cpu")
+
+    sr, W = 16000, 512
+    audio = np.concatenate(
+        [np.zeros(8000, np.float32), _vowel_like(sr), np.zeros(8000, np.float32)])
+
+    m.reset_states()
+    at = torch.from_numpy(audio)
+    ref = []
+    for s in range(0, len(audio), W):
+        chunk = at[s : s + W]
+        if len(chunk) < W:
+            chunk = torch.nn.functional.pad(chunk, (0, W - len(chunk)))
+        ref.append(m(chunk, sr).item())
+    ref = np.asarray(ref)
+
+    ours = silero_speech_probs(params, audio)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-2)
+    # the decisions that drive the post-filter mask must agree exactly
+    assert ((ref >= 0.2) == (ours >= 0.2)).all()
+    # and the network separates speech from silence
+    mid = ours[len(ours) // 3 : 2 * len(ours) // 3]
+    assert np.median(mid) > 0.5 and ours[:8].max() < 0.2
+
+
+@pytest.mark.skipif(not os.path.isfile(SILERO_JIT), reason="silero blob absent")
+def test_vad_mask_with_silero_network():
+    from whisper_vits_svc_tpu.infer.post import apply_vad_mask
+    from whisper_vits_svc_tpu.models.silero_vad import load_silero_vad
+
+    params = load_silero_vad(SILERO_JIT)
+    sr = 16000
+    audio = np.concatenate(
+        [np.zeros(sr, np.float32), _vowel_like(sr, 1.0), np.zeros(sr, np.float32)])
+    svc = np.ones(2 * len(audio), np.float32)
+    out = apply_vad_mask(svc, audio, vad_params=params)
+    # leading silence hard-muted (up to the 30 ms speech pad), speech kept
+    assert out[: 2 * (sr - 960)].max() == 0.0
+    assert out[2 * sr + 8000 : 4 * sr - 8000].min() == 1.0

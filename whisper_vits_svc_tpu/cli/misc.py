@@ -88,11 +88,20 @@ def inference_post_main(argv=None):
     p.add_argument("--ref", required=True, help="original 16k input wav")
     p.add_argument("--svc", required=True, help="32k svc output wav")
     p.add_argument("--out", default="svc_out_post.wav")
+    p.add_argument("--vad-model", default="vad/assets/silero_vad.jit",
+                   help="silero jit weights (converted to JAX at load); "
+                        "energy-VAD fallback if absent")
     args = p.parse_args(argv)
+
+    vad_params = None
+    if os.path.isfile(args.vad_model):
+        from ..models.silero_vad import load_silero_vad
+
+        vad_params = load_silero_vad(args.vad_model)
 
     ref, _ = load_wav(args.ref, target_sr=16000)
     svc, sr = load_wav(args.svc)
-    out = apply_vad_mask(svc, ref)
+    out = apply_vad_mask(svc, ref, vad_params=vad_params)
     save_wav(args.out, out, sr)
     print(f"wrote {args.out}")
 

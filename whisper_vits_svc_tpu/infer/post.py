@@ -5,10 +5,13 @@ The reference runs the TorchScript silero_vad.jit binary over the 16 kHz
 (threshold 0.2, vad/utils.py:164), x2-upsamples it to 32 kHz and multiplies it
 into the SVC output (svc_inference_post.py:31-51) — a hard mute of non-speech.
 
-TPU-native replacement (SURVEY.md §2.9): a dependency-free energy VAD with
-hysteresis and the same min-duration/padding semantics as silero's
-get_speech_timestamps (window 512 @ 16 kHz, min_speech 250 ms, min_silence
-100 ms, 30 ms speech padding). Only the mask-building role is needed.
+TPU-native replacement (SURVEY.md §2.9): the real silero network
+re-implemented in JAX (`models/silero_vad.py`, weights converted from the jit
+blob when available) with the same min-duration/padding trigger semantics as
+silero's get_speech_timestamps (window 512 @ 16 kHz, min_speech 250 ms,
+min_silence 100 ms, 30 ms speech padding). When no silero weights are on
+disk, a dependency-free per-window RMS-energy probability with the same
+hysteresis stands in.
 """
 
 from __future__ import annotations
@@ -24,21 +27,29 @@ def get_speech_timestamps(
     min_silence_duration_ms: int = 100,
     window_size_samples: int = 512,
     speech_pad_ms: int = 30,
+    vad_params: dict | None = None,
 ) -> list[dict]:
     """silero-compatible speech segments [{'start': s, 'end': e}, ...] (samples).
 
-    Speech probability proxy: per-window RMS energy normalized to the 95th
-    percentile, with hysteresis at (threshold, threshold - 0.15) like silero's
-    neg_threshold.
+    `vad_params` (from `models.silero_vad.load_silero_vad`) selects the real
+    silero network; otherwise the probability is a per-window RMS energy
+    normalized to the 95th percentile. Both use silero's hysteresis at
+    (threshold, threshold - 0.15) (vad/utils.py:281).
     """
     n = len(audio)
     n_win = n // window_size_samples
     if n_win == 0:
         return []
-    frames = audio[: n_win * window_size_samples].reshape(n_win, window_size_samples)
-    rms = np.sqrt(np.mean(np.square(frames), axis=1))
-    ref = np.percentile(rms, 95) + 1e-9
-    prob = np.clip(rms / ref, 0.0, 1.0)
+    if vad_params is not None:
+        from ..models.silero_vad import silero_speech_probs
+
+        prob = silero_speech_probs(vad_params, audio, window_size_samples)[:n_win]
+    else:
+        frames = audio[: n_win * window_size_samples].reshape(
+            n_win, window_size_samples)
+        rms = np.sqrt(np.mean(np.square(frames), axis=1))
+        ref = np.percentile(rms, 95) + 1e-9
+        prob = np.clip(rms / ref, 0.0, 1.0)
 
     neg_threshold = max(threshold - 0.15, 0.01)
     min_speech = sampling_rate * min_speech_duration_ms // 1000
@@ -80,10 +91,12 @@ def get_speech_timestamps(
 def apply_vad_mask(
     svc_audio_32k: np.ndarray, reference_audio_16k: np.ndarray,
     threshold: float = 0.2,
+    vad_params: dict | None = None,
 ) -> np.ndarray:
     """Hard-mute non-speech in the 32 kHz SVC output using the 16 kHz input's
     speech mask (svc_inference_post.py:31-51)."""
-    tags = get_speech_timestamps(reference_audio_16k, threshold=threshold)
+    tags = get_speech_timestamps(
+        reference_audio_16k, threshold=threshold, vad_params=vad_params)
     mask16 = np.zeros(len(reference_audio_16k), np.float32)
     for seg in tags:
         mask16[seg["start"] : seg["end"]] = 1.0
