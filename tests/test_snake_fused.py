@@ -59,3 +59,67 @@ def test_snake_alias_module_fused_vs_unfused(rng):
     out_p = plain_mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_channel_major_conv_exact_vs_f64():
+    """The NCT conv path must be f32-exact against a float64 reference (the
+    NHC conv path goes through XLA's bf16 MXU passes and is NOT)."""
+    import jax
+    from whisper_vits_svc_tpu.nn.conv import Conv1d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)  # [B,C,T]
+    for k, d in [(3, 1), (3, 5), (7, 1), (11, 1)]:
+        pad = (k * d - d) // 2
+        conv = Conv1d(8, k, dilation=d, padding=pad, weight_norm=True, layout="NCT")
+        p = conv.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(conv.apply(p, x))
+        v = np.asarray(p["params"]["v"], np.float64)
+        g = np.asarray(p["params"]["g"], np.float64)
+        w = g * v / (np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True)) + 1e-12)
+        b = np.asarray(p["params"]["bias"], np.float64)
+        xp = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (pad, pad)))
+        t_out = x.shape[-1]
+        ref = sum(np.einsum("io,bit->bot", w[m], xp[:, :, m * d : m * d + t_out])
+                  for m in range(k)) + b[None, :, None]
+        np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_channel_major_snake_matches_ntc():
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused, snake_alias_fused_cm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 96, 6)), jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+    for exact in (True, False):
+        a = snake_alias_fused(x, alpha, beta, exact_edges=exact)
+        b = snake_alias_fused_cm(x.transpose(0, 2, 1), alpha, beta,
+                                 exact_edges=exact).transpose(0, 2, 1)
+        # NTC depthwise convs may take bf16 MXU passes; CM is f32-exact
+        np.testing.assert_allclose(a, b, atol=2e-2)
+        assert a.shape == b.shape
+
+
+def test_generator_channel_major_matches_ntc():
+    import jax
+    from whisper_vits_svc_tpu.models.generator import Generator
+
+    rng = np.random.default_rng(0)
+    kw = dict(upsample_input=32, upsample_initial_channel=32,
+              upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+              resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+              spk_dim=16, sampling_rate=3200)
+    g_cm = Generator(**kw, channel_major_amp=True)
+    g_nh = Generator(**kw, channel_major_amp=False)
+    spk = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 20, 32)), jnp.float32) * 0.3
+    f0 = jnp.asarray(rng.uniform(100, 300, (2, 20)), jnp.float32)
+    p = g_cm.init(jax.random.PRNGKey(0), spk, x, f0)
+    # identical param pytree -> checkpoints are layout-independent
+    p2 = g_nh.init(jax.random.PRNGKey(0), spk, x, f0)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, p, p2))
+    y1 = g_cm.apply(p, spk, x, f0)
+    y2 = g_nh.apply(p, spk, x, f0)
+    assert y1.shape == y2.shape
+    np.testing.assert_allclose(y1, y2, atol=3e-2)

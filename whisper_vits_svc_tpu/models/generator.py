@@ -70,6 +70,12 @@ class Generator(nn.Module):
     spk_dim: int = 256
     sampling_rate: int = 32000
     snake_exact_edges: bool = True
+    # Run the AMP stages (and the post activation/projection) channel-major
+    # ([B, C, T], time in lanes): xprof traces showed XLA layout copies around
+    # the small-channel NHC convs dominating the tail stages; the CM forms are
+    # 2.5-4.5x faster there and f32-exact (docs/PERFORMANCE.md). Upsamplers and
+    # noise_convs stay NHC; one transpose pair per stage at the boundary.
+    channel_major_amp: bool = True
 
     @property
     def hop(self) -> int:
@@ -124,17 +130,30 @@ class Generator(nn.Module):
             else:
                 x_source = Conv1d(ch, 1, name=f"noise_convs_{i}")(har_source)
             x = x + x_source
+            last = i + 1 == len(self.upsample_rates)
+            layout = "NCT" if self.channel_major_amp else "NTC"
+            if self.channel_major_amp:
+                x = x.transpose(0, 2, 1)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 block = AMPBlock(ch, rk, tuple(rd),
                                  snake_exact_edges=self.snake_exact_edges,
+                                 layout=layout,
                                  name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
+            if self.channel_major_amp and not last:
+                x = x.transpose(0, 2, 1)
 
+        # post activation + projection stay in the AMP layout; for NCT the
+        # final transpose is on [B, 1, T] (a free reshape)
+        layout = "NCT" if self.channel_major_amp else "NTC"
         x = SnakeAlias(ch, exact_edges=self.snake_exact_edges,
-                       name="activation_post")(x)
-        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
+                       layout=layout, name="activation_post")(x)
+        x = Conv1d(1, 7, padding=3, use_bias=False, layout=layout,
+                   name="conv_post")(x)
+        if self.channel_major_amp:
+            x = x.reshape(x.shape[0], x.shape[2], 1)
         return jnp.tanh(x)

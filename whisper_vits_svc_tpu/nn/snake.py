@@ -270,6 +270,86 @@ def snake_alias_fused(x: jax.Array, alpha: jax.Array, beta: jax.Array,
     return out
 
 
+def _dw_valid_cm(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Depthwise valid correlation on [B, C, T] as shifted adds (VPU-only,
+    no conv layout assignment; also f32-exact where the conv form goes through
+    bf16 MXU passes)."""
+    L = x.shape[-1] - len(taps) + 1
+    return sum(float(taps[m]) * jax.lax.dynamic_slice_in_dim(x, m, L, 2)
+               for m in range(len(taps)))
+
+
+def _dw_pad_cm(x: jax.Array, taps: np.ndarray, pad: tuple[int, int]) -> jax.Array:
+    """Zero-pad (negative = crop) then valid correlation, on [B, C, T]."""
+    lo, hi = pad
+    if lo < 0:
+        x = x[:, :, -lo:]
+        lo = 0
+    if hi < 0:
+        x = x[:, :, :hi]
+        hi = 0
+    if lo or hi:
+        x = jnp.pad(x, ((0, 0), (0, 0), (lo, hi)))
+    return _dw_valid_cm(x, taps)
+
+
+def snake_alias_fused_cm(x: jax.Array, alpha: jax.Array, beta: jax.Array,
+                         k_up: int = 12, k_down: int = 12,
+                         exact_edges: bool = True) -> jax.Array:
+    """Channel-major twin of `snake_alias_fused` on [B, C, T].
+
+    Same polyphase math; every depthwise conv becomes shifted adds along the
+    lane (time) axis, so the whole activation is a single elementwise fusion
+    in the [B, C, T] layout the generator tail stages run in.
+    """
+    ae, ao, oe, oo, de, do_, doe, doo = _polyphase_taps(k_up, k_down)
+    a = jnp.exp(alpha).astype(x.dtype)[None, :, None]
+    b = jnp.exp(beta).astype(x.dtype)[None, :, None]
+
+    def snake(u):
+        return u + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(u * a))
+
+    if not exact_edges:
+        s_e = snake(_dw_pad_cm(x, ae, (-oe, oe + len(ae) - 1)))
+        s_o = snake(_dw_pad_cm(x, ao, (-oo, oo + len(ao) - 1)))
+        return (
+            _dw_pad_cm(s_e, de, (-doe, doe + len(de) - 1))
+            + _dw_pad_cm(s_o, do_, (-doo, doo + len(do_) - 1))
+        )
+
+    T = x.shape[-1]
+    m_lo = min(oe, oo)
+    m_hi = max(oe + len(ae) - 1, oo + len(ao) - 1)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (-m_lo, m_hi)), mode="edge")
+
+    def up_phase(taps, off):
+        start = off - m_lo
+        return _dw_valid_cm(
+            jax.lax.dynamic_slice_in_dim(xp, start, T + len(taps) - 1, 2), taps)
+
+    s_e = snake(up_phase(ae, oe))
+    s_o = snake(up_phase(ao, oo))
+
+    pe_l, po_l = max(0, -doe), max(0, -doo)
+    pe_r = max(0, doe + len(de) - 1)
+    po_r = max(0, doo + len(do_) - 1)
+    first = s_e[:, :, :1]
+    last = s_o[:, :, -1:]
+
+    def extend(s, pl, pr):
+        parts = []
+        if pl:
+            parts.append(jnp.repeat(first, pl, axis=2))
+        parts.append(s)
+        if pr:
+            parts.append(jnp.repeat(last, pr, axis=2))
+        return jnp.concatenate(parts, axis=2) if len(parts) > 1 else s
+
+    assert doe <= 0 and doo <= 0, (doe, doo)
+    return (_dw_valid_cm(extend(s_e, pe_l, pe_r), de)
+            + _dw_valid_cm(extend(s_o, po_l, po_r), do_))
+
+
 class SnakeBeta(nn.Module):
     """x + (1/beta) * sin^2(alpha * x), per-channel log-scale alpha/beta.
 
@@ -303,9 +383,16 @@ class SnakeAlias(nn.Module):
     down_kernel_size: int = 12
     fused: bool = True
     exact_edges: bool = True
+    layout: str = "NTC"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.layout == "NCT":
+            assert self.up_ratio == 2 and self.down_ratio == 2
+            alpha, beta = _ActParams(self.channels, name="act")()
+            return snake_alias_fused_cm(x, alpha, beta, self.up_kernel_size,
+                                        self.down_kernel_size,
+                                        exact_edges=self.exact_edges)
         if self.fused and self.up_ratio == 2 and self.down_ratio == 2:
             # params live under the same "act" scope (act/alpha, act/beta) as
             # the unfused path, so checkpoints are interchangeable
