@@ -1,0 +1,111 @@
+"""Device-trace breakdown of the GAN train step on the real chip.
+
+Captures an xprof trace of a few train steps and prints:
+  - mean device ms per step (the jit_train_step span)
+  - top-20 device ops by total time, grouped by fused-op name prefix
+
+Usage: python tools/trace_train.py [--bf16]
+"""
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_trace(trace_dir):
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    with gzip.open(paths[-1]) as f:
+        return json.load(f)
+
+
+def breakdown(trace, step_prefix="jit_train_step"):
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "CPU" not in str(e.get("args", {}).get("name", ""))
+    }
+    # thread-name metadata: XLA Op lanes vs step lanes
+    spans = [e for e in events if e.get("ph") == "X" and e.get("pid") in device_pids]
+    steps = [e for e in spans if e.get("name", "").startswith(step_prefix)]
+    step_ms = sum(e["dur"] for e in steps) / max(len(steps), 1) / 1e3
+
+    # per-op: spans that are NOT the top-level program and NOT steady-state markers
+    ops = defaultdict(float)
+    for e in spans:
+        n = e.get("name", "")
+        if n.startswith(step_prefix) or n.startswith("jit_"):
+            continue
+        # strip trailing .N / digits to group fusion instances
+        key = re.sub(r"[.\d]+$", "", n)
+        ops[key] += e["dur"]
+    return step_ms, len(steps), sorted(ops.items(), key=lambda kv: -kv[1])
+
+
+def main():
+    import jax
+
+    from whisper_vits_svc_tpu.train.step import init_train_states, make_train_step
+    from whisper_vits_svc_tpu.utils.config import load_config
+
+    hp = load_config("configs/base.yaml")
+    batch, t_frames = 8, 300
+    hop = hp.data.hop_length
+
+    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    train_step = make_train_step(hp, g_model, d_model)
+
+    def jit_train_step(g_state, d_state, batch, rng):
+        return train_step(g_state, d_state, batch, rng)
+
+    step = jax.jit(jit_train_step)
+
+    def make_batch(i):
+        r = np.random.default_rng(i)
+        return dict(
+            ppg=r.standard_normal((batch, t_frames, hp.vits.ppg_dim)).astype(np.float32) * 0.1,
+            vec=r.standard_normal((batch, t_frames, hp.vits.vec_dim)).astype(np.float32) * 0.1,
+            pit=r.uniform(100, 400, (batch, t_frames)).astype(np.float32),
+            spk=r.standard_normal((batch, hp.vits.spk_dim)).astype(np.float32),
+            spec=np.abs(r.standard_normal(
+                (batch, t_frames, hp.data.filter_length // 2 + 1))).astype(np.float32),
+            audio=(r.standard_normal((batch, t_frames * hop, 1)) * 0.2).astype(np.float32),
+            ppg_l=np.full((batch,), t_frames, np.int32),
+            spec_l=np.full((batch,), t_frames, np.int32),
+        )
+
+    g_state, d_state, m = step(g_state, d_state, make_batch(0), jax.random.PRNGKey(0))
+    jax.block_until_ready(m["loss_g"])
+    print("compiled; tracing...", flush=True)
+
+    trace_dir = tempfile.mkdtemp(prefix="train_trace_")
+    jax.profiler.start_trace(trace_dir)
+    for i in range(3):
+        g_state, d_state, m = step(g_state, d_state, make_batch(i + 1),
+                                   jax.random.PRNGKey(i))
+    jax.block_until_ready(m["loss_g"])
+    jax.profiler.stop_trace()
+
+    step_ms, n, ops = breakdown(load_trace(trace_dir))
+    total_op_ms = sum(v for _, v in ops) / 1e3
+    print(f"\ndevice step time: {step_ms:.2f} ms over {n} steps "
+          f"(utt/s = {batch / (step_ms / 1e3):.1f}, "
+          f"audio-s/s = {batch * t_frames * hop / hp.data.sampling_rate / (step_ms / 1e3):.1f})")
+    print(f"sum of op spans: {total_op_ms / max(n,1):.2f} ms/step\n")
+    print(f"{'op':60s} {'ms/step':>9s} {'%':>6s}")
+    for name, us in ops[:25]:
+        ms = us / 1e3 / max(n, 1)
+        print(f"{name[:60]:60s} {ms:9.3f} {100 * us / 1e3 / max(total_op_ms, 1e-9):6.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,23 @@ def main(argv=None):
     p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
     p.add_argument("--crepe-ckpt", default="crepe_pretrain/full.pth")
     p.add_argument("--speaker-ckpt", default="speaker_pretrain/best_model.pth.tar")
+    p.add_argument("--stage", choices=["all", "cdc", "trim"], default="all",
+                   help="'cdc'/'trim' run only the VCTK cleanup stages "
+                        "(reference prepare/preprocess_cdc.py / preprocess_trim.py) "
+                        "from -i to -o")
+    p.add_argument("-i", "--in-path", default=None, help="input dir for --stage cdc/trim")
+    p.add_argument("-o", "--out-path", default=None, help="output dir for --stage cdc/trim")
     args = p.parse_args(argv)
+
+    if args.stage in ("cdc", "trim"):
+        if not args.in_path or not args.out_path:
+            p.error(f"--stage {args.stage} requires -i and -o")
+        from ..data.preprocess import cdc_directory, trim_directory
+
+        fn = cdc_directory if args.stage == "cdc" else trim_directory
+        n = fn(args.in_path, args.out_path)
+        print(f"{args.stage}: {n} files")
+        return
 
     from ..data.preprocess import Extractors, preprocess
     from ..utils.config import load_config

@@ -158,6 +158,143 @@ def preprocess(
     return stats
 
 
+def cut_direct_content(audio: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:
+    """Zero the DC and first STFT bins, resynthesize (CDC VCTK cleanup,
+    reference prepare/preprocess_cdc.py:17-28).
+
+    float [-1, 1] in -> float in; the int16 quantization with torch-style
+    truncation toward zero (`.short()`) happens in `cdc_directory`.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.stft import istft, stft_complex
+
+    y = jnp.asarray(audio, jnp.float32)[None]
+    re, im = stft_complex(y, n_fft, hop, n_fft, window="hann", center=True,
+                          pad_mode="reflect")
+    mask = np.ones(n_fft // 2 + 1, np.float32)
+    mask[0] = mask[1] = 0.0
+    out = istft(re * mask, im * mask, n_fft, hop, n_fft, center=True,
+                length=len(audio))
+    return np.asarray(out[0])
+
+
+def _quantize_int16_trunc(audio: np.ndarray) -> np.ndarray:
+    """32768*x clamped to [-32768, 32767] then truncated toward zero — the
+    exact `(MAX_WAV_VALUE*x).clamp(...).short()` of preprocess_cdc.py:23-25."""
+    x = np.clip(audio * 32768.0, -32768.0, 32767.0)
+    return np.trunc(x).astype(np.int16)
+
+
+def detect_silence_ms(audio: np.ndarray, sr: int, min_silence_len: int = 200,
+                      silence_thresh: float = -45.0) -> list[list[int]]:
+    """Silent [start_ms, end_ms) ranges, pydub.silence.detect_silence
+    semantics (1 ms seek step; a window is silent when its RMS dBFS — relative
+    to int16 full scale — is below the threshold)."""
+    n_ms = int(len(audio) // (sr // 1000))
+    if n_ms < min_silence_len:
+        return []
+    spms = sr // 1000
+    # per-ms energy prefix sum -> O(1) windowed RMS
+    e = (audio[: n_ms * spms].astype(np.float64) ** 2).reshape(n_ms, spms).sum(1)
+    cum = np.concatenate([[0.0], np.cumsum(e)])
+    win_e = cum[min_silence_len:] - cum[:-min_silence_len]  # per start ms
+    rms = np.sqrt(win_e / (min_silence_len * spms))
+    thresh_lin = 10.0 ** (silence_thresh / 20.0)
+    silent = rms < thresh_lin
+
+    ranges: list[list[int]] = []
+    start = None
+    for i, s in enumerate(silent):
+        if s and start is None:
+            start = i
+        elif not s and start is not None:
+            ranges.append([start, i - 1 + min_silence_len])
+            start = None
+    if start is not None:
+        ranges.append([start, len(silent) - 1 + min_silence_len])
+    return ranges
+
+
+def split_on_silence(audio: np.ndarray, sr: int, min_silence_len: int = 200,
+                     silence_thresh: float = -45.0,
+                     keep_silence: int = 200) -> list[np.ndarray]:
+    """Non-silent chunks each padded with keep_silence ms, pydub
+    split_on_silence semantics (overlapping pads split at the midpoint)."""
+    n_ms = int(len(audio) // (sr // 1000))
+    silence = detect_silence_ms(audio, sr, min_silence_len, silence_thresh)
+    # complement -> nonsilent ranges
+    nonsilent, prev = [], 0
+    for s, e in silence:
+        if s > prev:
+            nonsilent.append([prev, s])
+        prev = e
+    if prev < n_ms:
+        nonsilent.append([prev, n_ms])
+    if not nonsilent:
+        return []
+    out_ranges = [[max(0, s - keep_silence), min(n_ms, e + keep_silence)]
+                  for s, e in nonsilent]
+    for a, b in zip(out_ranges, out_ranges[1:]):
+        if a[1] > b[0]:
+            a[1] = b[0] = (a[1] + b[0]) // 2
+    spms = sr // 1000
+    return [audio[s * spms : e * spms] for s, e in out_ranges]
+
+
+def trim_silence_concat(audio: np.ndarray, sr: int, min_silence_len: int = 200,
+                        silence_thresh: float = -45.0,
+                        keep_silence: int = 200) -> np.ndarray:
+    """Drop long internal silences and concatenate the speech chunks —
+    reference prepare/preprocess_trim.py:12-25 (pydub split_on_silence then
+    chunks[0] += chunk). Returns the input untouched when nothing is split."""
+    chunks = split_on_silence(audio, sr, min_silence_len, silence_thresh,
+                              keep_silence)
+    if not chunks:
+        return audio
+    return np.concatenate(chunks)
+
+
+def _per_speaker_wavs(in_path: str, out_path: str):
+    for spk in sorted(os.listdir(in_path)):
+        d = os.path.join(in_path, spk)
+        if not os.path.isdir(d):
+            continue
+        _ensure(os.path.join(out_path, spk))
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".wav"):
+                yield spk, os.path.join(d, f), os.path.join(out_path, spk, f)
+
+
+def cdc_directory(in_path: str, out_path: str, progress: bool = True) -> int:
+    """CDC over a speaker-per-subdir tree (prepare/preprocess_cdc.py CLI)."""
+    from scipy.io import wavfile
+
+    n = 0
+    for spk, src, dst in _per_speaker_wavs(in_path, out_path):
+        audio, sr = load_wav(src)
+        wavfile.write(dst, sr, _quantize_int16_trunc(cut_direct_content(audio)))
+        n += 1
+        if progress:
+            print(f"cdc {spk}/{os.path.basename(src)}")
+    return n
+
+
+def trim_directory(in_path: str, out_path: str, progress: bool = True) -> int:
+    """Silence-trim over a speaker-per-subdir tree (prepare/preprocess_trim.py
+    CLI; run after CDC for VCTK)."""
+    from scipy.io import wavfile
+
+    n = 0
+    for spk, src, dst in _per_speaker_wavs(in_path, out_path):
+        audio, sr = load_wav(src)
+        wavfile.write(dst, sr, _quantize_int16_trunc(trim_silence_concat(audio, sr)))
+        n += 1
+        if progress:
+            print(f"trim {spk}/{os.path.basename(src)}")
+    return n
+
+
 def dataset_dry_run(hp, files_dir: str = "files", batch_size: int = 2) -> int:
     """Iterate the full dataset + one bucketed epoch so shape/file errors
     surface before training (reference prepare/preprocess_zzz.py:11-31,

@@ -142,6 +142,109 @@ def stft_complex(
     return spec[..., :n_bins], -spec[..., n_bins:]
 
 
+@lru_cache(maxsize=None)
+def _idft_basis(n_fft: int, win_length: int, window: str) -> np.ndarray:
+    """[2*n_bins, n_fft] windowed inverse-rDFT basis, float32.
+
+    Rows are [cos | -sin] columns of the forward transform scaled so that
+    (re @ top + im @ bottom) reproduces irfft(re + i*im) * window — the
+    per-frame synthesis step of torch.istft.
+    """
+    n_bins = n_fft // 2 + 1
+    if window == "hann":
+        n = np.arange(win_length, dtype=np.float64)
+        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    elif window == "ones":
+        w = np.ones(win_length, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    pad_l = (n_fft - win_length) // 2
+    w_full = np.zeros(n_fft, dtype=np.float64)
+    w_full[pad_l : pad_l + win_length] = w
+
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    phase = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_bins, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    basis = np.concatenate([scale * np.cos(phase), -scale * np.sin(phase)], axis=0)
+    return (basis * w_full[None, :]).astype(np.float32)
+
+
+def _overlap_add(frames: jax.Array, hop: int) -> jax.Array:
+    """[B, T, frame_len] -> [B, hop*(T-1)+frame_len] overlap-add.
+
+    Expressed as a transposed conv with an identity kernel so XLA lowers it to
+    one scatter-free op (the TPU-native col2im).
+    """
+    frame_len = frames.shape[-1]
+    # conv_transpose flips the kernel spatially; anti-diagonal identity maps
+    # channel c to output offset c
+    kernel = jnp.eye(frame_len, dtype=frames.dtype)[::-1, :, None]  # [H, I, O]
+    return jax.lax.conv_transpose(
+        frames, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )[..., 0]
+
+
+def istft(
+    re: jax.Array,
+    im: jax.Array,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    *,
+    window: str = "hann",
+    center: bool = True,
+    length: int | None = None,
+    envelope_eps: float = 1e-11,
+) -> jax.Array:
+    """Inverse STFT matching torch.istft semantics.
+
+    (re, im) are [B, frames, n_fft//2+1] as produced by `stft_complex`.
+    Per-frame inverse rDFT (one MXU matmul), window, overlap-add, then divide
+    by the overlap-added squared-window envelope; center=True trims n_fft//2
+    from both ends (torch.istft's default). Used by the CDC preprocessing
+    stage (reference prepare/preprocess_cdc.py:17-27).
+    """
+    spec = jnp.concatenate([re, im], axis=-1).astype(jnp.float32)
+    basis = jnp.asarray(_idft_basis(n_fft, win_length, window))
+    frames = jnp.einsum("...tk,kf->...tf", spec, basis,
+                        preferred_element_type=jnp.float32)
+    y = _overlap_add(frames, hop)
+
+    # squared analysis window, overlap-added at the same frame positions
+    n_frames = re.shape[-2]
+    if window == "hann":
+        n = np.arange(win_length, dtype=np.float64)
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    else:
+        win = np.ones(win_length, dtype=np.float64)
+    pad_l = (n_fft - win_length) // 2
+    w_full = np.zeros(n_fft, dtype=np.float64)
+    w_full[pad_l : pad_l + win_length] = win
+    env = np.zeros(hop * (n_frames - 1) + n_fft, dtype=np.float64)
+    for t in range(n_frames):
+        env[t * hop : t * hop + n_fft] += w_full**2
+    env = jnp.asarray(np.maximum(env, envelope_eps).astype(np.float32))
+    y = y / env
+
+    if center:
+        # torch.istft trims n_fft//2 on the left; the right end is trimmed
+        # only when no explicit length is requested
+        y = y[..., n_fft // 2 :]
+        if length is None:
+            y = y[..., : y.shape[-1] - n_fft // 2]
+    if length is not None:
+        if y.shape[-1] >= length:
+            y = y[..., :length]
+        else:  # torch.istft zero-pads up to the requested length
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])])
+    return y
+
+
 def _vits_prepad(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
     pad = int((n_fft - hop) / 2)
     return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
