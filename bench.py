@@ -16,35 +16,10 @@ conversion is NOT achievable with its stack (reference README.md:22);
 BASELINE.md's north-star target is >= 5x realtime per chip.
 """
 
-import glob
-import gzip
 import json
-import os
-import tempfile
 import time
 
 import numpy as np
-
-
-def _device_ms_per_call(trace_dir: str, name_prefix: str = "jit_synth"):
-    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
-    if not paths:
-        return None
-    with gzip.open(paths[-1]) as f:
-        trace = json.load(f)
-    device_pids = {
-        e["pid"] for e in trace.get("traceEvents", [])
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "CPU" not in str(e.get("args", {}).get("name", ""))
-    }
-    spans = [
-        e for e in trace.get("traceEvents", [])
-        if e.get("ph") == "X" and e.get("pid") in device_pids
-        and e.get("name", "").startswith(name_prefix)
-    ]
-    if not spans:
-        return None
-    return sum(e["dur"] for e in spans) / len(spans) / 1e3
 
 
 def main():
@@ -53,6 +28,7 @@ def main():
 
     from whisper_vits_svc_tpu.models.synthesizer import SynthesizerInfer
     from whisper_vits_svc_tpu.nn.nsf import source_hn_nsf
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
 
     sr = 32000
     hop = 320
@@ -86,18 +62,15 @@ def main():
     out.block_until_ready()
 
     audio_seconds_per_call = b * chunk_frames * hop / sr
-    ms_per_call = None
     method = "device_trace"
-    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
-    try:
-        jax.profiler.start_trace(trace_dir)
+
+    def run_calls():
+        out = None
         for i in range(4):
             out = synth(params, ppg, vec, pit + i * 1e-4, spk, lengths)
         out.block_until_ready()
-        jax.profiler.stop_trace()
-        ms_per_call = _device_ms_per_call(trace_dir)
-    except Exception:
-        ms_per_call = None
+
+    ms_per_call = measure_device_ms(run_calls, name_prefix="jit_synth")
     if ms_per_call is None:
         method = "wall_clock_blocked"
         best = float("inf")

@@ -2,6 +2,12 @@
 
 Not the driver's headline bench (that's bench.py); records utterances/s and
 audio-seconds/s for one chip into stdout for BASELINE.md bookkeeping.
+
+Methodology matches bench.py: the primary number is the per-step DEVICE
+duration of the jitted train-step program parsed from an xprof trace
+(wall-clock through the shared tunnel is unreliable in both directions —
+docs/PERFORMANCE.md). Inputs are perturbed every call. Falls back to
+per-call-blocked wall clock if trace capture fails.
 """
 
 import json
@@ -15,6 +21,7 @@ def main():
 
     from whisper_vits_svc_tpu.train.step import init_train_states, make_train_step
     from whisper_vits_svc_tpu.utils.config import load_config
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
 
     hp = load_config("configs/base.yaml")
     hp["data"]["training_files"] = "unused"
@@ -22,7 +29,6 @@ def main():
     t_frames = 300  # 3 s utterances (bucket midpoint)
     hop = hp.data.hop_length
 
-    rng = np.random.default_rng(0)
     g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(hp, g_model, d_model))
 
@@ -40,28 +46,44 @@ def main():
             spec_l=np.full((batch,), t_frames, np.int32),
         )
 
+    # warmup/compile
     g_state, d_state, m = step(g_state, d_state, make_batch(0), jax.random.PRNGKey(0))
     jax.block_until_ready(m["loss_g"])
 
-    iters = 10
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        for i in range(iters):
+    method = "device_trace"
+
+    def run_calls():
+        nonlocal g_state, d_state, m
+        for i in range(4):
             g_state, d_state, m = step(
-                g_state, d_state, make_batch(r * iters + i + 1),
-                jax.random.PRNGKey(i),
+                g_state, d_state, make_batch(i + 1), jax.random.PRNGKey(i)
             )
         jax.block_until_ready(m["loss_g"])
-        best = min(best, time.perf_counter() - t0)
 
-    utt_s = iters * batch / best
+    ms_per_step = measure_device_ms(run_calls, name_prefix="jit_train_step")
+    if ms_per_step is None:
+        method = "wall_clock_blocked"
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            for i in range(5):
+                g_state, d_state, m = step(
+                    g_state, d_state, make_batch(100 + r * 5 + i),
+                    jax.random.PRNGKey(i),
+                )
+                jax.block_until_ready(m["loss_g"])
+            best = min(best, (time.perf_counter() - t0) / 5)
+        ms_per_step = best * 1e3
+
+    utt_s = batch / (ms_per_step / 1e3)
     audio_s = utt_s * t_frames * hop / hp.data.sampling_rate
     print(json.dumps({
         "metric": "train_utterances_per_second",
         "value": round(utt_s, 2),
         "unit": "utt/s/chip (batch 8, 3s utts)",
         "audio_seconds_per_second": round(audio_s, 2),
+        "device_ms_per_step": round(ms_per_step, 2),
+        "method": method,
         "loss_g": float(m["loss_g"]),
     }))
 

@@ -81,3 +81,32 @@ def test_dataset_dry_run(tmp_path, rng):
     (files / "train.txt").write_text("\n".join(rows))
     n = dataset_dry_run(hp.data, str(files), batch_size=2)
     assert n >= 1
+
+
+def test_device_trace_parser(tmp_path):
+    """device_ms_per_call: picks jit spans on non-CPU lanes, averages dur."""
+    import gzip
+    import json
+
+    from whisper_vits_svc_tpu.utils.device_trace import device_ms_per_call
+
+    trace = {"traceEvents": [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "Host CPU threads"}},
+        # two device spans of the jit program: 3 ms and 5 ms (dur is in us)
+        {"ph": "X", "pid": 1, "name": "jit_synth", "dur": 3000, "ts": 0},
+        {"ph": "X", "pid": 1, "name": "jit_synth.1", "dur": 5000, "ts": 9000},
+        # distractors: CPU-lane span with same name, other-name device span
+        {"ph": "X", "pid": 2, "name": "jit_synth", "dur": 99999, "ts": 0},
+        {"ph": "X", "pid": 1, "name": "fusion.123", "dur": 777, "ts": 100},
+    ]}
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    assert device_ms_per_call(str(tmp_path), "jit_synth") == 4.0
+    assert device_ms_per_call(str(tmp_path), "jit_train_step") is None
+    assert device_ms_per_call(str(tmp_path / "nope"), "jit_synth") is None

@@ -1,0 +1,137 @@
+"""End-to-end SVC pipeline RTF on one chip: feature extraction + synthesis.
+
+The reference's headline limitation is that real-time conversion is NOT
+possible because the whisper encoder is too slow (reference README.md:22).
+This tool measures each pipeline stage's device-trace realtime factor on one
+TPU chip — whisper-large-v2 24-layer PPG encoder (bf16, like the reference's
+GPU fp16), HuBERT-soft content vec, CREPE-full F0, and the full
+SynthesizerInfer graph — and the compound end-to-end RTF
+(1 / sum of per-stage seconds-per-audio-second).
+
+Weights are randomly initialized (pretrained blobs are absent in this image);
+device time is independent of weight values. Methodology: xprof device trace,
+inputs perturbed per call (docs/PERFORMANCE.md).
+
+Usage: python tools/bench_e2e.py
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.models.crepe import Crepe, normalize_frames
+    from whisper_vits_svc_tpu.models.hubert import HubertSoft
+    from whisper_vits_svc_tpu.models.synthesizer import SynthesizerInfer
+    from whisper_vits_svc_tpu.models.whisper import (
+        WhisperEncoder, log_mel_spectrogram, WINDOW_SAMPLES,
+    )
+    from whisper_vits_svc_tpu.nn.nsf import source_hn_nsf
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def bench(name, fn, args_fn, audio_seconds):
+        """jit fn under a distinct name, trace 4 perturbed calls."""
+        jfn = jax.jit(fn)
+        out = jfn(*args_fn(0))
+        jax.block_until_ready(out)
+
+        def run_calls():
+            o = None
+            for i in range(1, 5):
+                o = jfn(*args_fn(i))
+            jax.block_until_ready(o)
+
+        ms = measure_device_ms(run_calls, name_prefix=f"jit_{fn.__name__}")
+        if ms is None:
+            import time
+            best = float("inf")
+            for i in range(5, 10):
+                t0 = time.perf_counter()
+                jax.block_until_ready(jfn(*args_fn(i)))
+                best = min(best, time.perf_counter() - t0)
+            ms = best * 1e3
+        rtf = audio_seconds / (ms / 1e3)
+        results[name] = {"device_ms": round(ms, 2), "rtf": round(rtf, 1),
+                         "audio_s_per_call": audio_seconds}
+
+    # --- whisper PPG: 2x 15 s windows batched (30 s audio / call), bf16 ---
+    wmodel = WhisperEncoder(compute_dtype=jnp.bfloat16)
+    mel0 = log_mel_spectrogram(jnp.zeros((2, WINDOW_SAMPLES)))
+    wparams = wmodel.init(jax.random.PRNGKey(0), mel0)["params"]
+    wav30 = rng.standard_normal((2, WINDOW_SAMPLES)).astype(np.float32) * 0.1
+
+    def whisper_ppg(params, wav):
+        return wmodel.apply({"params": params}, log_mel_spectrogram(wav))
+
+    bench("whisper_ppg_bf16", whisper_ppg,
+          lambda i: (wparams, jnp.asarray(wav30 + i * 1e-5)), 30.0)
+
+    # --- hubert-soft: one 20 s chunk (reference hubert/inference.py:30) ---
+    hmodel = HubertSoft()
+    wav20 = rng.standard_normal((1, 20 * 16000)).astype(np.float32) * 0.1
+    hparams = hmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
+
+    def hubert_vec(params, wav):
+        return hmodel.apply({"params": params}, wav)
+
+    bench("hubert_vec", hubert_vec,
+          lambda i: (hparams, jnp.asarray(wav20 + i * 1e-5)), 20.0)
+
+    # --- crepe-full: 512-frame batch @ hop 160 = 5.12 s / call ---
+    cmodel = Crepe(capacity="full")
+    frames = rng.standard_normal((512, 1024)).astype(np.float32)
+    cparams = cmodel.init(jax.random.PRNGKey(0), jnp.zeros((4, 1024)))["params"]
+
+    def crepe_f0(params, fr):
+        return cmodel.apply({"params": params}, normalize_frames(fr))
+
+    bench("crepe_f0", crepe_f0,
+          lambda i: (cparams, jnp.asarray(frames + i * 1e-5)), 512 * 160 / 16000)
+
+    # --- synthesis: 10 s chunk, same graph as bench.py ---
+    sr, hop, t = 32000, 320, 1000
+    smodel = SynthesizerInfer()
+    ppg = jnp.asarray(rng.standard_normal((1, t, 1280)), jnp.float32) * 0.1
+    vec = jnp.asarray(rng.standard_normal((1, t, 256)), jnp.float32) * 0.1
+    pit = jnp.asarray(rng.uniform(100, 400, (1, t)), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((1, 256)), jnp.float32) * 0.1
+    lengths = jnp.full((1,), t, jnp.int32)
+    sparams = smodel.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        ppg, vec, pit, spk, lengths, jnp.zeros((1, t * hop, 1)),
+    )["params"]
+
+    def synth(params, ppg, vec, pit, spk, lengths):
+        source = source_hn_nsf(pit, hop, sr, rng=None)
+        return smodel.apply({"params": params}, ppg, vec, pit, spk, lengths,
+                            source, rngs={"noise": jax.random.PRNGKey(2)})
+
+    bench("synthesis", synth,
+          lambda i: (sparams, ppg, vec, pit + i * 1e-4, spk, lengths),
+          t * hop / sr)
+
+    sec_per_audio_sec = sum(
+        (v["device_ms"] / 1e3) / v["audio_s_per_call"] for v in results.values()
+    )
+    e2e_rtf = 1.0 / sec_per_audio_sec
+    print(json.dumps({
+        "metric": "end_to_end_svc_rtf",
+        "value": round(e2e_rtf, 2),
+        "unit": "audio_seconds_per_second_per_chip (whisper+hubert+crepe+synth)",
+        "vs_baseline": round(e2e_rtf / 1.0, 2),
+        "stages": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

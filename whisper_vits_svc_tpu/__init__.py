@@ -18,3 +18,25 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS env var even when a site hook has already
+# pinned jax.config.jax_platforms (e.g. a TPU-tunnel sitecustomize setting
+# "axon,cpu", which outranks the env var): `JAX_PLATFORMS=cpu python
+# svc_trainer.py ...` must really run on CPU. Safe as long as no backend has
+# been initialized yet, which holds when this package is imported first.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _want = _os.environ["JAX_PLATFORMS"]
+    _have = _jax.config.jax_platforms or ""
+    # Only intervene when the configured list doesn't already lead with the
+    # requested platform (e.g. env "axon" vs config "axon,cpu" is satisfied —
+    # rewriting would drop the cpu fallback).
+    if _have.split(",")[0] != _want.split(",")[0]:
+        try:
+            _jax.config.update("jax_platforms", _want)
+        except RuntimeError:
+            pass  # backend already initialized; leave the active platform be
+del _os
