@@ -76,6 +76,44 @@ def test_chunked_close_to_oneshot(tiny_infer, rng):
     assert jumps[seams - 1].max() <= jumps.max() * 1.5 + 1e-6
 
 
+def test_chunk_batched_matches_sequential(tiny_infer, rng):
+    """chunk_batch>1 stacks chunks on a vmapped batch axis with per-chunk rngs
+    (same fold_in stream as the sequential walk), so output must match the
+    sequential walk — including a trailing group padded to the static batch
+    shape. Batched vs unbatched XLA programs fuse differently, so allow only
+    float reassociation noise."""
+    hp, model, params = tiny_infer
+    t = 50  # out_chunk=20, hop_frame=4 -> 3 chunks, last group padded
+    ppg, vec, pit, spk = _features(hp, rng, t)
+    kw = dict(noise_scale=1.0, seed=7, out_chunk=20, hop_frame=4)
+
+    seq = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg,
+                             vec, hp, **kw)
+    bat = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg,
+                             vec, hp, chunk_batch=2, **kw)
+    np.testing.assert_allclose(seq, bat, atol=2e-6, rtol=2e-6)
+
+
+def test_chunk_batched_mesh_sharded(tiny_infer, rng):
+    """Chunk batch sharded across the 8-device CPU mesh (data-parallel
+    long-audio synthesis, SURVEY.md §5.7) matches the sequential output."""
+    from whisper_vits_svc_tpu.parallel import mesh as pmesh
+
+    hp, model, params = tiny_infer
+    t = 100  # out_chunk=12, hop_frame=4 -> 9 chunks over 8 devices
+    ppg, vec, pit, spk = _features(hp, rng, t)
+    kw = dict(noise_scale=1.0, seed=3, out_chunk=12, hop_frame=4)
+
+    seq = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg,
+                             vec, hp, **kw)
+    mesh = pmesh.create_mesh()
+    shd = pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg,
+                             vec, hp, mesh=mesh, **kw)
+    assert len(shd) == len(seq) == t * hp.data.hop_length
+    # CPU collectives reduce in a fixed order; allow only tiny reassociation
+    np.testing.assert_allclose(shd, seq, atol=1e-5, rtol=1e-5)
+
+
 def test_bf16_inference_close_to_f32(tiny_infer, rng):
     import jax.numpy as jnp
 

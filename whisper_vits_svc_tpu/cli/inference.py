@@ -43,6 +43,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="svc_out.wav")
     p.add_argument("--bf16", action="store_true",
                    help="run the synthesis graph in bfloat16 on the MXU")
+    p.add_argument("--chunk-batch", type=int, default=1,
+                   help="synthesize this many 25 s chunks per device call "
+                        "(batched on the MXU; same noise stream as "
+                        "sequential)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the chunk batch across this many devices "
+                        "(data-parallel long-audio synthesis)")
     return p
 
 
@@ -136,9 +143,17 @@ def main_from_namespace(args):
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+    mesh = None
+    if getattr(args, "mesh_data", 0):
+        import jax
+
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.create_mesh(devices=jax.devices()[: args.mesh_data])
     audio, source = pipeline.svc_infer(
         model, params, retrieval, spk, pit, ppg, vec, hp, return_source=True,
         compute_dtype=compute_dtype,
+        chunk_batch=getattr(args, "chunk_batch", 1), mesh=mesh,
     )
     save_wav("svc_out_pit.wav", source, hp.data.sampling_rate)
     save_wav(args.out, audio, hp.data.sampling_rate)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.synthesizer import SynthesizerInfer
+from ..parallel import mesh as pmesh
 from ..train import checkpoint as ckpt
 from ..utils.config import Config
 
@@ -86,6 +87,25 @@ def shift_pitch(pit: np.ndarray, semitones: float) -> np.ndarray:
     return pit * 2 ** (semitones / 12)
 
 
+def _chunk_plan(len_min: int, out_chunk: int, hop_frame: int):
+    """The reference's chunk walk (svc_inference.py:101-131) as a static plan:
+    per chunk (cut_s, cut_e) frame window plus the output trim slice."""
+    plan = []
+    out_index = 0
+    while out_index < len_min:
+        if out_index == 0:
+            cut_s, cut_s_out = 0, 0
+        else:
+            cut_s, cut_s_out = out_index - hop_frame, hop_frame
+        if out_index + out_chunk + hop_frame > len_min:
+            cut_e, cut_e_out = len_min, None
+        else:
+            cut_e, cut_e_out = out_index + out_chunk + hop_frame, -hop_frame
+        plan.append((cut_s, cut_e, cut_s_out, cut_e_out))
+        out_index += out_chunk
+    return plan
+
+
 def svc_infer(
     model: SynthesizerInfer,
     params,
@@ -101,11 +121,21 @@ def svc_infer(
     hop_frame: int = 10,
     return_source: bool = False,
     compute_dtype=None,
+    chunk_batch: int = 1,
+    mesh=None,
 ):
     """-> float32 waveform [S] (and optionally the excitation waveform).
 
     compute_dtype=jnp.bfloat16 runs the synthesis graph in bf16 on the MXU
     (params + activations cast; excitation synthesis and output stay f32).
+
+    chunk_batch > 1 synthesizes that many 25 s chunks per device call, stacked
+    on a batch axis (vmap over per-chunk rngs — same noise stream as the
+    sequential walk). With `mesh`, the chunk batch is sharded across the
+    mesh's data axis — the long-audio scaling story (SURVEY.md §5.7): chunks
+    are independent given the shared whole-utterance excitation, so an
+    n-chip mesh converts n chunks concurrently. chunk_batch defaults to the
+    data-axis size when a mesh is given.
     """
     hop_size = hp.data.hop_length
     if compute_dtype is not None:
@@ -121,54 +151,74 @@ def svc_infer(
     )  # [1, S, 1], whole utterance
 
     chunk_max = out_chunk + 2 * hop_frame
+    if mesh is not None and chunk_batch == 1:
+        chunk_batch = int(mesh.shape[pmesh.DATA_AXIS])
 
-    @jax.jit
-    def run_chunk(params, ppg_c, vec_c, pit_c, spk_c, length, source_c, rng):
-        if compute_dtype is not None:
-            ppg_c, vec_c, spk_c, source_c = (
-                x.astype(compute_dtype) for x in (ppg_c, vec_c, spk_c, source_c)
+    def _cast(x):
+        return x.astype(compute_dtype) if compute_dtype is not None else x
+
+    def _run_chunks(params, ppg_c, vec_c, pit_c, spk_c, lengths, source_c, rngs):
+        """[N, ...] stacked chunks -> [N, chunk_max*hop, 1] waveforms."""
+
+        def one(ppg_1, vec_1, pit_1, length_1, source_1, rng):
+            out = model.apply(
+                {"params": params},
+                _cast(ppg_1[None]), _cast(vec_1[None]), pit_1[None],
+                _cast(spk_c), length_1[None], _cast(source_1[None]),
+                noise_scale, rngs={"noise": rng},
             )
-        out = model.apply(
-            {"params": params}, ppg_c, vec_c, pit_c, spk_c, length, source_c,
-            noise_scale, rngs={"noise": rng},
-        )
-        return out.astype(jnp.float32)
+            return out[0].astype(jnp.float32)
 
-    out_audio = []
-    out_index = 0
-    chunk_i = 0
-    while out_index < len_min:
-        if out_index == 0:
-            cut_s, cut_s_out = 0, 0
-        else:
-            cut_s, cut_s_out = out_index - hop_frame, hop_frame * hop_size
-        if out_index + out_chunk + hop_frame > len_min:
-            cut_e, cut_e_out = len_min, None
-        else:
-            cut_e, cut_e_out = out_index + out_chunk + hop_frame, -hop_frame * hop_size
+        return jax.vmap(one)(ppg_c, vec_c, pit_c, lengths, source_c, rngs)
 
-        t = cut_e - cut_s
-        sub_ppg = retrieval.retriv_whisper(ppg[cut_s:cut_e])
-        sub_vec = retrieval.retriv_hubert(vec[cut_s:cut_e])
-        # pad to the static chunk shape; masking handles the tail
-        pad = chunk_max - t
-        sub_ppg = np.pad(sub_ppg, ((0, pad), (0, 0)))[None]
-        sub_vec = np.pad(sub_vec, ((0, pad), (0, 0)))[None]
-        sub_pit = np.pad(pit[cut_s:cut_e], (0, pad))[None]
-        sub_har = np.pad(
-            source[:, cut_s * hop_size : cut_e * hop_size], ((0, 0), (0, pad * hop_size), (0, 0))
-        )
-        sub_out = run_chunk(
-            params, sub_ppg, sub_vec, sub_pit, spk,
-            np.array([t], np.int32), sub_har,
-            jax.random.fold_in(jax.random.PRNGKey(seed), chunk_i),
-        )
-        sub_out = np.asarray(sub_out)[0, : t * hop_size, 0]
-        out_audio.append(sub_out[cut_s_out:cut_e_out])
-        out_index += out_chunk
-        chunk_i += 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    audio = np.concatenate(out_audio) if out_audio else np.zeros(0, np.float32)
+        rep = NamedSharding(mesh, P())
+        dat = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+        run_chunks = jax.jit(
+            _run_chunks,
+            in_shardings=(rep, dat, dat, dat, rep, dat, dat, dat),
+            out_shardings=dat,
+        )
+    else:
+        run_chunks = jax.jit(_run_chunks)
+
+    plan = _chunk_plan(len_min, out_chunk, hop_frame)
+    base_key = jax.random.PRNGKey(seed)
+    trimmed: list[np.ndarray | None] = [None] * len(plan)
+    for g0 in range(0, len(plan), chunk_batch):
+        group = plan[g0 : g0 + chunk_batch]
+        # pad the trailing group to the static batch shape (one compiled
+        # program per chunk_batch; required for even data-axis sharding)
+        n_pad = chunk_batch - len(group)
+        ppg_c, vec_c, pit_c, src_c, lens, keys = [], [], [], [], [], []
+        for gi, (cut_s, cut_e, _, _) in enumerate(group + group[-1:] * n_pad):
+            t = cut_e - cut_s
+            pad = chunk_max - t
+            ppg_c.append(np.pad(retrieval.retriv_whisper(ppg[cut_s:cut_e]),
+                                ((0, pad), (0, 0))))
+            vec_c.append(np.pad(retrieval.retriv_hubert(vec[cut_s:cut_e]),
+                                ((0, pad), (0, 0))))
+            pit_c.append(np.pad(pit[cut_s:cut_e], (0, pad)))
+            src_c.append(np.pad(source[0, cut_s * hop_size : cut_e * hop_size],
+                                ((0, pad * hop_size), (0, 0))))
+            lens.append(t)
+            keys.append(jax.random.fold_in(base_key, g0 + gi))
+        outs = run_chunks(
+            params, np.stack(ppg_c), np.stack(vec_c), np.stack(pit_c), spk,
+            np.asarray(lens, np.int32), np.stack(src_c), jnp.stack(keys),
+        )
+        outs = np.asarray(outs)
+        for gi, (cut_s, cut_e, s_out, e_out) in enumerate(group):
+            chunk_wav = outs[gi, : (cut_e - cut_s) * hop_size, 0]
+            trimmed[g0 + gi] = chunk_wav[
+                s_out * hop_size : None if e_out is None else e_out * hop_size
+            ]
+
+    audio = (
+        np.concatenate(trimmed) if trimmed else np.zeros(0, np.float32)
+    )
     if return_source:
         return audio, source[0, :, 0]
     return audio
