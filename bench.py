@@ -34,7 +34,9 @@ def main():
     hop = 320
     chunk_frames = 1000  # 10 s of audio per chunk at 100 fps
 
-    model = SynthesizerInfer()
+    # Pallas single-pass SnakeAlias on TPU (ops/pallas_snake.py): 51.4 ->
+    # 43.6 ms device per 10 s chunk (195x -> 229x RT) on v5e.
+    model = SynthesizerInfer(pallas_snake=jax.default_backend() == "tpu")
     rng = np.random.default_rng(0)
     b = 1
     ppg = jnp.asarray(rng.standard_normal((b, chunk_frames, 1280)), jnp.float32) * 0.1

@@ -123,3 +123,46 @@ def test_generator_channel_major_matches_ntc():
     y2 = g_nh.apply(p, spk, x, f0)
     assert y1.shape == y2.shape
     np.testing.assert_allclose(y1, y2, atol=3e-2)
+
+
+def test_pallas_snake_matches_cm():
+    """Pallas single-pass kernel (interpret mode off-TPU) == jnp CM form,
+    including the replicate-edge clamps and non-tile-aligned T."""
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm
+    from whisper_vits_svc_tpu.ops.pallas_snake import snake_alias_cm_pallas
+
+    rng = np.random.default_rng(2)
+    for (B, C, T) in [(1, 10, 700), (2, 16, 1024), (1, 3, 130)]:
+        x = jnp.asarray(rng.standard_normal((B, C, T)) * 1.5, jnp.float32)
+        alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+        ref = snake_alias_fused_cm(x, alpha, beta, exact_edges=True)
+        out = snake_alias_cm_pallas(x, alpha, beta)
+        np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)
+
+
+def test_generator_pallas_snake_matches_jnp(monkeypatch):
+    """Full generator with pallas_snake=True (interpret mode on CPU) matches
+    the jnp CM path; params are identical between the two. The shape gate is
+    lifted so the tiny test shapes actually take the kernel."""
+    import jax
+    from whisper_vits_svc_tpu.ops import pallas_snake
+
+    monkeypatch.setattr(pallas_snake, "_MIN_T", 0)
+    monkeypatch.setattr(pallas_snake, "use_pallas_for", lambda c, t: True)
+    from whisper_vits_svc_tpu.models.generator import Generator
+
+    rng = np.random.default_rng(3)
+    kw = dict(upsample_input=32, upsample_initial_channel=32,
+              upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+              resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+              spk_dim=16, sampling_rate=3200)
+    g_ref = Generator(**kw)
+    g_pal = Generator(**kw, pallas_snake=True)
+    spk = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 20, 32)), jnp.float32) * 0.3
+    f0 = jnp.asarray(rng.uniform(100, 300, (2, 20)), jnp.float32)
+    p = g_ref.init(jax.random.PRNGKey(0), spk, x, f0)
+    y1 = g_ref.apply(p, spk, x, f0)
+    y2 = g_pal.apply(p, spk, x, f0)
+    np.testing.assert_allclose(y1, y2, atol=1e-5, rtol=1e-5)

@@ -119,7 +119,8 @@ def main_from_namespace(args):
     hp = load_config(args.config)
     auto_extract(args)
 
-    model = pipeline.build_infer_model(hp)
+    model = pipeline.build_infer_model(
+        hp, pallas_snake=False if getattr(args, "mesh_data", 0) else None)
     params = pipeline.load_svc_model(args.model, model, hp)
     retrieval = (
         create_retrieval(

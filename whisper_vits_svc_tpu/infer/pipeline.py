@@ -24,11 +24,21 @@ from ..utils.config import Config
 MAX_WAV_VALUE = 32768.0
 
 
-def build_infer_model(hp: Config, fast_edges: bool = False) -> SynthesizerInfer:
+def build_infer_model(hp: Config, fast_edges: bool = False,
+                      pallas_snake: bool | None = None) -> SynthesizerInfer:
     """fast_edges trades the outermost ~6 samples of each chunk (trimmed by
     the overlap anyway) for skipping 91 materialized edge-pads per chunk.
     Off by default: device traces showed XLA lowers the conv-internal zero
-    padding to selects that cost more than the pads they replace."""
+    padding to selects that cost more than the pads they replace.
+
+    pallas_snake=None auto-enables the single-pass Pallas SnakeAlias kernel
+    on TPU backends (ops/pallas_snake.py); pass False to force the jnp path
+    (e.g. when sharding the synthesis graph over a mesh — Pallas calls do not
+    auto-partition)."""
+    if pallas_snake is None:
+        import jax
+
+        pallas_snake = jax.default_backend() == "tpu"
     return SynthesizerInfer(
         spec_channels=hp.data.filter_length // 2 + 1,
         ppg_dim=hp.vits.ppg_dim,
@@ -44,6 +54,7 @@ def build_infer_model(hp: Config, fast_edges: bool = False) -> SynthesizerInfer:
         resblock_dilation_sizes=tuple(tuple(d) for d in hp.gen.resblock_dilation_sizes),
         sampling_rate=hp.data.sampling_rate,
         snake_exact_edges=not fast_edges,
+        pallas_snake=pallas_snake and not fast_edges,
     )
 
 

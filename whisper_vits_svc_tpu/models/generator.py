@@ -76,6 +76,8 @@ class Generator(nn.Module):
     # 2.5-4.5x faster there and f32-exact (docs/PERFORMANCE.md). Upsamplers and
     # noise_convs stay NHC; one transpose pair per stage at the boundary.
     channel_major_amp: bool = True
+    # Single-pass Pallas SnakeAlias kernel (forward-only -> inference graphs).
+    pallas_snake: bool = False
 
     @property
     def hop(self) -> int:
@@ -140,7 +142,7 @@ class Generator(nn.Module):
             ):
                 block = AMPBlock(ch, rk, tuple(rd),
                                  snake_exact_edges=self.snake_exact_edges,
-                                 layout=layout,
+                                 layout=layout, pallas_snake=self.pallas_snake,
                                  name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
@@ -151,7 +153,8 @@ class Generator(nn.Module):
         # final transpose is on [B, 1, T] (a free reshape)
         layout = "NCT" if self.channel_major_amp else "NTC"
         x = SnakeAlias(ch, exact_edges=self.snake_exact_edges,
-                       layout=layout, name="activation_post")(x)
+                       layout=layout, use_pallas=self.pallas_snake,
+                       name="activation_post")(x)
         x = Conv1d(1, 7, padding=3, use_bias=False, layout=layout,
                    name="conv_post")(x)
         if self.channel_major_amp:

@@ -251,6 +251,7 @@ class SynthesizerInfer(nn.Module):
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
     sampling_rate: int = 32000
     snake_exact_edges: bool = True
+    pallas_snake: bool = False
 
     def setup(self):
         self.enc_p = TextEncoder(
@@ -271,6 +272,7 @@ class SynthesizerInfer(nn.Module):
             spk_dim=self.spk_dim,
             sampling_rate=self.sampling_rate,
             snake_exact_edges=self.snake_exact_edges,
+            pallas_snake=self.pallas_snake,
             name="dec",
         )
 

@@ -28,12 +28,14 @@ class AMPBlock(nn.Module):
     dilation: tuple[int, ...] = (1, 3, 5)
     snake_exact_edges: bool = True
     layout: str = "NTC"
+    pallas_snake: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for j, d in enumerate(self.dilation):
             xt = SnakeAlias(self.channels, exact_edges=self.snake_exact_edges,
-                            layout=self.layout, name=f"act1_{j}")(x)
+                            layout=self.layout, use_pallas=self.pallas_snake,
+                            name=f"act1_{j}")(x)
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,
@@ -44,7 +46,8 @@ class AMPBlock(nn.Module):
                 name=f"convs1_{j}",
             )(xt)
             xt = SnakeAlias(self.channels, exact_edges=self.snake_exact_edges,
-                            layout=self.layout, name=f"act2_{j}")(xt)
+                            layout=self.layout, use_pallas=self.pallas_snake,
+                            name=f"act2_{j}")(xt)
             xt = Conv1d(
                 self.channels,
                 self.kernel_size,

@@ -384,12 +384,22 @@ class SnakeAlias(nn.Module):
     fused: bool = True
     exact_edges: bool = True
     layout: str = "NTC"
+    # Single-VMEM-pass Pallas kernel for the NCT path (ops/pallas_snake.py);
+    # forward-only (no custom_vjp), so inference graphs only.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.layout == "NCT":
             assert self.up_ratio == 2 and self.down_ratio == 2
             alpha, beta = _ActParams(self.channels, name="act")()
+            if self.use_pallas and self.exact_edges:
+                from ..ops import pallas_snake
+
+                if pallas_snake.use_pallas_for(x.shape[1], x.shape[2]):
+                    return pallas_snake.snake_alias_cm_pallas(
+                        x, alpha, beta, self.up_kernel_size,
+                        self.down_kernel_size)
             return snake_alias_fused_cm(x, alpha, beta, self.up_kernel_size,
                                         self.down_kernel_size,
                                         exact_edges=self.exact_edges)
