@@ -15,17 +15,23 @@ clamping) runs in VMEM: one HBM read of x, one HBM write of the result,
 ~2 passes total. The generator applies this activation 91 times per chunk on
 tensors up to [1, 10, 800k], so it dominates synthesis time.
 
-Grid/blocking: grid (B, C-tiles, T-tiles). The T-tile halo (6 left / 5 right
-input samples) is fed through a second BlockSpec over the same padded input
-whose index_map points at the 16 samples following each tile — overlapping
-halo reads without manual DMA, so Pallas double-buffers both streams.
+Two call paths:
+- zero-copy (preferred): when C fits one channel block and T has a
+  lane-aligned divisor tile, the kernel reads x in place. The +-8-sample tile
+  halo comes from two extra BlockSpecs over the same x whose index_maps point
+  at the neighboring 128-lane block (clamped at the array ends); the
+  boundary tiles then rebuild the edge-replicated samples with masked
+  selects. No jnp.pad of the input, no trim of the output — those were two
+  extra full-tensor HBM passes per call.
+- padded fallback (any shape): x is edge-padded so every block read is in
+  bounds; the output is computed at tile-rounded length and trimmed.
 
 Boundary semantics (exact parity with the reference's edge-replicate pads):
 the up-phase FIRs read x through an edge-replicated pad, and the downsample
 input s (the interleaved post-snake phases) is clamped as s[i<0] := s[0]
 (even phase head) and s[i>2T-1] := s[2T-1] (odd phase tail). In-kernel that
-is two masked selects against the global position index, with the two clamp
-values recovered by masked reductions (position == 0 / == T-1) — no gathers.
+is masked selects against the global position index, with the clamp values
+recovered by masked reductions (position == 0 / == T-1) — no gathers.
 """
 
 from __future__ import annotations
@@ -34,14 +40,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..nn.snake import _polyphase_taps
 
 _LANE = 128
-_PAD = 8  # left pad of x inside the padded buffer
+_PAD = 8  # halo samples kept on each side of a tile (needs >= 6 left, 5 right)
 
 # Shape gate (device-trace measured, v5e): the kernel is 3.6-4.6x faster than
 # the jnp CM form on the narrow-channel long-time tail stages (C=10/T=320k:
@@ -50,6 +55,11 @@ _PAD = 8  # left pad of x inside the padded buffer
 # overhead dominates. XLA's CM fusion is only sublane-starved at small C.
 _MAX_C = 32
 _MIN_T = 50_000
+
+# ~10 MB VMEM working set; Mosaic keeps roughly 16 block-sized f32 buffers
+# live (2x pipeline buffers for main/halo/out plus in-kernel temps — measured
+# 14.2 block-equivalents at C=16).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def use_pallas_for(c: int, t: int) -> bool:
@@ -70,35 +80,32 @@ def _tap_floats(k_up: int, k_down: int):
             tuple(float(v) for v in de), tuple(float(v) for v in do_))
 
 
-def _kernel(main_ref, halo_ref, a_ref, ib_ref, out_ref, *, taps, tt: int, t_real: int):
-    """One (batch, channel-tile, time-tile) step.
-
-    main/halo cover padded[b, cblk, t0 : t0+tt+128] (the kernel reads only the
-    first 14 halo lanes) where padded has the input
-    edge-replicated _PAD samples left. Local ext coordinate l maps to global
-    output position pos = t0 - 3 + l for l in [0, tt+6).
-    """
+def snake_range(x, x_lo: int, out_lo: int, out_len: int, a, ib, taps,
+                t_real: int, t0):
+    """Shared kernel math: SnakeAlias output over positions
+    [t0+out_lo, t0+out_lo+out_len) from x (C, L) covering
+    [t0+x_lo, t0+x_lo+L). x must span at least [out_lo-6, out_lo+out_len+6)
+    with edge-replicate values already applied by the caller; the
+    downsample-input clamps (s[i<0] := s[0], s[i>T-1] := s[T-1]) are applied
+    here against the global position index."""
     ae, ao, de, do_ = taps
-    ext = tt + 6
-    x = jnp.concatenate([main_ref[0], halo_ref[0]], axis=-1).astype(jnp.float32)
+    ext = out_len + 6
 
-    # up-phase FIRs: s_e[pos] needs x[pos-3 .. pos+2]  (x idx = padded - _PAD)
-    #                s_o[pos] needs x[pos-2 .. pos+3]
-    # padded-local idx of x[pos-3+m] = (pos - 3 + m) - (t0 - _PAD) = l + m + 2
-    se = ae[0] * x[:, 2 : 2 + ext]
+    # up-phase FIRs on ext positions p = t0+out_lo-3+l, l in [0, ext):
+    #   s_e[p] needs x[p-3 .. p+2], s_o[p] needs x[p-2 .. p+3]
+    #   local idx of x[p-3+m] = (p-3+m) - (t0+x_lo) = l + m + (out_lo-6-x_lo)
+    base = out_lo - 6 - x_lo
+    se = ae[0] * x[:, base : base + ext]
     for m in range(1, 6):
-        se = se + ae[m] * x[:, 2 + m : 2 + m + ext]
-    so = ao[0] * x[:, 3 : 3 + ext]
+        se = se + ae[m] * x[:, base + m : base + m + ext]
+    so = ao[0] * x[:, base + 1 : base + 1 + ext]
     for m in range(1, 6):
-        so = so + ao[m] * x[:, 3 + m : 3 + m + ext]
+        so = so + ao[m] * x[:, base + 1 + m : base + 1 + m + ext]
 
-    a = a_ref[:].astype(jnp.float32)
-    ib = ib_ref[:].astype(jnp.float32)
     se = se + ib * jnp.square(jnp.sin(se * a))
     so = so + ib * jnp.square(jnp.sin(so * a))
 
-    t0 = pl.program_id(2) * tt
-    pos = t0 - 3 + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
+    pos = t0 + out_lo - 3 + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
     # downsample-input clamps: head -> s_e[0], tail -> s_o[T-1]
     first_e = jnp.sum(jnp.where(pos == 0, se, 0.0), axis=1, keepdims=True)
     last_o = jnp.sum(jnp.where(pos == t_real - 1, so, 0.0), axis=1, keepdims=True)
@@ -107,24 +114,59 @@ def _kernel(main_ref, halo_ref, a_ref, ib_ref, out_ref, *, taps, tt: int, t_real
     o = jnp.where(head, first_e, jnp.where(tail, last_o, so))
 
     # down-phase FIRs: out[pos] = sum_m de[m]*E[pos-2+m] + do[m]*O[pos-3+m]
-    out = de[0] * e[:, 1 : 1 + tt] + do_[0] * o[:, 0:tt]
+    out = de[0] * e[:, 1 : 1 + out_len] + do_[0] * o[:, 0:out_len]
     for m in range(1, 6):
-        out = out + de[m] * e[:, 1 + m : 1 + m + tt]
-        out = out + do_[m] * o[:, m : m + tt]
+        out = out + de[m] * e[:, 1 + m : 1 + m + out_len]
+        out = out + do_[m] * o[:, m : m + out_len]
+    return out
+
+
+def _kernel_padded(main_ref, halo_ref, a_ref, ib_ref, out_ref, *, taps,
+                   tt: int, t_real: int):
+    """Padded path: main/halo cover padded[b, cblk, t0 : t0+tt+128] (only the
+    first 2*_PAD halo lanes are read); padded = x edge-replicated _PAD left."""
+    x = jnp.concatenate(
+        [main_ref[0], halo_ref[0][:, : 2 * _PAD]], axis=-1
+    ).astype(jnp.float32)
+    t0 = pl.program_id(2) * tt
+    out = snake_range(x, -_PAD, 0, tt, a_ref[:].astype(jnp.float32),
+                      ib_ref[:].astype(jnp.float32), taps, t_real, t0)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _pick_tiles(c: int, t: int) -> tuple[int, int]:
-    """(C-tile, T-tile) under a ~10 MB VMEM working-set budget. Mosaic keeps
-    roughly 16 block-sized f32 buffers live: 2x pipeline buffers for each of
-    main/halo/out plus the in-kernel temps (x, se, so, e, o, out and select
-    intermediates) — measured 14.2 block-equivalents at C=16."""
-    c_tile = min(_round_up(c, 8), 128)
-    budget = 10 * 1024 * 1024
-    tt = budget // (16 * 4 * c_tile)
-    tt = max(_LANE * 4, (tt // _LANE) * _LANE)
-    tt = min(tt, _round_up(t, _LANE))
-    return c_tile, tt
+def _kernel_nocopy(main_ref, hl_ref, hr_ref, a_ref, ib_ref, out_ref, *, taps,
+                   tt: int, t_real: int):
+    """Zero-copy path: main covers x[t0 : t0+tt]; hl/hr are the neighboring
+    128-lane blocks (index-clamped at the array ends). Edge replication for
+    the first/last tiles is rebuilt with masked selects."""
+    xl = hl_ref[0][:, _LANE - _PAD :]
+    xr = hr_ref[0][:, :_PAD]
+    x = jnp.concatenate([xl, main_ref[0], xr], axis=-1).astype(jnp.float32)
+
+    t0 = pl.program_id(1) * tt
+    px = t0 - _PAD + jax.lax.broadcasted_iota(jnp.int32, (1, tt + 2 * _PAD), 1)
+    # boundary tiles: the clamped halo blocks hold wrong values outside
+    # [0, T); replace with the edge-replicate values x[0] / x[T-1]
+    x0 = jnp.sum(jnp.where(px == 0, x, 0.0), axis=1, keepdims=True)
+    xn = jnp.sum(jnp.where(px == t_real - 1, x, 0.0), axis=1, keepdims=True)
+    x = jnp.where(px < 0, x0, jnp.where(px > t_real - 1, xn, x))
+
+    out = snake_range(x, -_PAD, 0, tt, a_ref[:].astype(jnp.float32),
+                      ib_ref[:].astype(jnp.float32), taps, t_real, t0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _divisor_tile(c: int, t: int) -> int | None:
+    """Largest lane-aligned tile dividing t within the VMEM budget, or None."""
+    if t % _LANE:
+        return None
+    max_tt = _VMEM_BUDGET // (16 * 4 * max(c, 8))
+    g = t // _LANE
+    best = 0
+    for d in range(1, g + 1):
+        if g % d == 0 and d * _LANE <= max_tt:
+            best = max(best, d * _LANE)
+    return best if best >= 4 * _LANE else None
 
 
 def snake_alias_cm_pallas(
@@ -145,25 +187,59 @@ def snake_alias_cm_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    c_tile, tt = _pick_tiles(c, t)
+    af = jnp.exp(alpha.astype(jnp.float32)).reshape(-1, 1)
+    ibf = 1.0 / (jnp.exp(beta.astype(jnp.float32)) + 1e-9).reshape(-1, 1)
+
+    tt_div = _divisor_tile(c, t) if c <= 128 else None
+    if tt_div is not None:
+        tt = tt_div
+        nt = t // tt
+        nb = tt // _LANE
+        last = t // _LANE - 1
+        kernel = functools.partial(_kernel_nocopy, taps=taps, tt=tt, t_real=t)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+            grid=(b, nt),
+            in_specs=[
+                pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, c, _LANE),
+                    lambda bi, ti: (bi, 0, jnp.maximum(ti * nb - 1, 0)),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, c, _LANE),
+                    lambda bi, ti: (bi, 0, jnp.minimum((ti + 1) * nb, last)),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, x, x, af, ibf)
+
+    # ------------------------------------------------- padded fallback path
+    c_tile = min(_round_up(c, 8), 128)
+    tt = _VMEM_BUDGET // (16 * 4 * c_tile)
+    tt = max(_LANE * 4, (tt // _LANE) * _LANE)
+    tt = min(tt, _round_up(t, _LANE))
     cp = _round_up(c, c_tile)
     tp = _round_up(t, tt)
     nt = tp // tt
-    halo = _LANE  # lane dim of a block must be a multiple of 128
     # padded: [B, Cp, _PAD + tp + (tt - _PAD)] = tp + tt total — divisible by
-    # both tt (main blocks) and halo (halo blocks); edge-replicate on time so
+    # both tt (main blocks) and 128 (halo blocks); edge-replicate on time so
     # the up-phase FIR windows of the first/last real samples see x[0]/x[T-1].
     padded = jnp.pad(x, ((0, 0), (0, 0), (_PAD, tp + tt - t - _PAD)), mode="edge")
     if cp != c:
         padded = jnp.pad(padded, ((0, 0), (0, cp - c), (0, 0)))
-
-    af = jnp.exp(alpha.astype(jnp.float32)).reshape(-1, 1)
-    ibf = 1.0 / (jnp.exp(beta.astype(jnp.float32)) + 1e-9).reshape(-1, 1)
-    if cp != c:
         af = jnp.pad(af, ((0, cp - c), (0, 0)), constant_values=1.0)
         ibf = jnp.pad(ibf, ((0, cp - c), (0, 0)), constant_values=1.0)
 
-    kernel = functools.partial(_kernel, taps=taps, tt=tt, t_real=t)
+    kernel = functools.partial(_kernel_padded, taps=taps, tt=tt, t_real=t)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, cp, tp), x.dtype),
@@ -171,8 +247,8 @@ def snake_alias_cm_pallas(
         in_specs=[
             pl.BlockSpec((1, c_tile, tt), lambda bi, ci, ti: (bi, ci, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_tile, halo),
-                         lambda bi, ci, ti: (bi, ci, (ti + 1) * (tt // halo)),
+            pl.BlockSpec((1, c_tile, _LANE),
+                         lambda bi, ci, ti: (bi, ci, (ti + 1) * (tt // _LANE)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_tile, 1), lambda bi, ci, ti: (ci, 0),
                          memory_space=pltpu.VMEM),
