@@ -166,3 +166,48 @@ def test_generator_pallas_snake_matches_jnp(monkeypatch):
     y1 = g_ref.apply(p, spk, x, f0)
     y2 = g_pal.apply(p, spk, x, f0)
     np.testing.assert_allclose(y1, y2, atol=1e-5, rtol=1e-5)
+
+
+def test_amp_iter_kernel_matches_ref():
+    """Fused AMP dilation-iteration kernel == jnp composition, incl. conv
+    zero-pad and snake edge-replicate boundary semantics, every AMP kernel
+    size in the base config."""
+    from whisper_vits_svc_tpu.ops import pallas_amp as pa
+
+    rng = np.random.default_rng(4)
+    for (B, C, T, k, d) in [(1, 10, 1280, 3, 1), (2, 16, 1024, 7, 3),
+                            (1, 12, 2560, 11, 5)]:
+        x = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
+        k1 = jnp.asarray(rng.standard_normal((k, C, C)) * 0.1, jnp.float32)
+        k2 = jnp.asarray(rng.standard_normal((k, C, C)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+        a1, be1, a2, be2 = (jnp.asarray(rng.standard_normal(C) * 0.3,
+                                        jnp.float32) for _ in range(4))
+        ref = pa.amp_iter_ref(x, k1, b1, a1, be1, k2, b2, a2, be2, k, d)
+        out = pa.amp_iter(x, k1, b1, a1, be1, k2, b2, a2, be2, k, d,
+                          interpret=True)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_ampblock_fused_iter_matches_module(monkeypatch):
+    """AMPBlock with the fused-iteration path (gate lifted) == the module
+    composition, with an identical parameter tree."""
+    import jax
+    from whisper_vits_svc_tpu.nn.amp import AMPBlock
+    from whisper_vits_svc_tpu.ops import pallas_amp
+
+    monkeypatch.setattr(pallas_amp, "use_fused_iter", lambda c, t: True)
+    rng = np.random.default_rng(5)
+    C, T = 12, 1280
+    x = jnp.asarray(rng.standard_normal((1, C, T)), jnp.float32)
+    block_ref = AMPBlock(C, 3, (1, 3), layout="NCT")
+    block_pal = AMPBlock(C, 3, (1, 3), layout="NCT", pallas_fused_iter=True)
+    p_ref = block_ref.init(jax.random.PRNGKey(0), x)
+    p_pal = block_pal.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.shape == b.shape and bool(jnp.allclose(a, b)),
+        p_ref, p_pal))
+    y_ref = block_ref.apply(p_ref, x)
+    y_pal = block_pal.apply(p_ref, x)
+    np.testing.assert_allclose(y_pal, y_ref, atol=2e-5, rtol=1e-5)

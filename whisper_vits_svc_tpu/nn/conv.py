@@ -43,6 +43,27 @@ def _wn_kernel(v: jax.Array, g: jax.Array, norm_axes: Sequence[int]) -> jax.Arra
     return g * v / (norm + 1e-12)
 
 
+def declare_nct_wn_conv(mod: nn.Module, kernel_size: int, in_ch: int,
+                        features: int):
+    """Declare the parameter set of Conv1d(layout="NCT", weight_norm=True,
+    use_bias=True) on `mod` — identical names, shapes and initializers — and
+    return the folded (kernel, bias). Used by fused kernels that consume raw
+    folded weights (e.g. ops/pallas_amp) while staying checkpoint-compatible
+    with the module graph. Keep in sync with Conv1d.__call__'s NCT branch."""
+    kshape = (kernel_size, in_ch, features)
+    fan_in = in_ch * kernel_size
+    v = mod.param("v", _torch_conv_init(fan_in), kshape)
+    g = mod.param(
+        "g",
+        lambda key, shape: jnp.sqrt(
+            jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
+        ).reshape(shape),
+        (1, 1, features),
+    )
+    bias = mod.param("bias", _torch_conv_init(fan_in), (features,))
+    return _wn_kernel(v, g, (0, 1)), bias
+
+
 def _conv1d_channel_major(x: jax.Array, kernel: jax.Array, padding: int,
                           dilation: int) -> jax.Array:
     """'Same-family' conv on [B, C, T] as k shifted sublane-contracting
