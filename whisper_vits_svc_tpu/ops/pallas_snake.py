@@ -50,9 +50,11 @@ _PAD = 8  # halo samples kept on each side of a tile (needs >= 6 left, 5 right)
 
 # Shape gate (device-trace measured, v5e): the kernel is 3.6-4.6x faster than
 # the jnp CM form on the narrow-channel long-time tail stages (C=10/T=320k:
-# 2.25 -> 0.62 ms; C=20/T=160k: 2.24 -> 0.49 ms) but neutral at C=40/T=80k
-# (0.33 vs 0.39 ms) and 2x slower on short tensors (C=160/T=5k) where grid
-# overhead dominates. XLA's CM fusion is only sublane-starved at small C.
+# 2.25 -> 0.56 ms; C=20/T=160k: 2.24 -> 0.45 ms) and 1.75x at C=80/T=20k
+# (0.33 -> 0.19 ms, padded path), but neutral at C=40/T=80k (0.33 vs 0.33)
+# and 2x slower on short tensors (C=160/T=5k) where grid overhead dominates.
+# XLA's CM fusion quality is erratic across these shapes; the gate is purely
+# empirical per generator stage.
 _MAX_C = 32
 _MIN_T = 50_000
 
@@ -64,7 +66,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 def use_pallas_for(c: int, t: int) -> bool:
     """True where the kernel beats the jnp channel-major form (see above)."""
-    return c <= _MAX_C and t >= _MIN_T
+    if c <= _MAX_C and t >= _MIN_T:
+        return True
+    # mid-channel stages (e.g. the generator's C=80 stage): pallas wins, but
+    # C=40 / short-T shapes measured neutral-to-worse — leave those to XLA
+    return 40 < c <= 128 and t >= 10_000
 
 
 def _round_up(x: int, m: int) -> int:
@@ -169,6 +175,109 @@ def _divisor_tile(c: int, t: int) -> int | None:
     return best if best >= 4 * _LANE else None
 
 
+# ------------------------------------------------------- MXU-FIR formulation
+#
+# The VPU form above spends most of its time on 24 lane-shifted
+# multiply-accumulates (the four 6-tap phase FIRs) — at C=10/T=320k it runs
+# ~0.52 ms against a ~0.1 ms HBM bound. FIR-as-matmul moves those MACs onto
+# the (otherwise idle) MXU: gather x into per-128-lane-block windows
+# (C*nblocks, 136) with two shifted slices + reshapes, then one banded
+# constant matrix (136, 256) produces both up-phases for the whole block in
+# a single matmul; the two down-phase FIRs likewise collapse into one
+# (272, 128) matmul over stacked E/O windows. Only the snake nonlinearity
+# and the boundary clamps remain on the VPU.
+
+_W_UP = 136   # window width: 128 lanes + 6-tap reach, rounded to sublanes
+_OFF = 64     # phase arrays are computed over [t0-_OFF, t0+tt+_OFF)
+
+
+@functools.lru_cache(maxsize=None)
+def _fir_matrices(k_up: int, k_down: int):
+    """(B_up [136, 256], B_dn [272, 128]) banded constant FIR matrices."""
+    import numpy as np
+
+    ae, ao, de, do_ = _tap_floats(k_up, k_down)
+    b_up = np.zeros((_W_UP, 2 * _LANE), np.float32)
+    for r in range(_LANE):
+        for m in range(6):
+            # se[s+r] = sum_m ae[m] * x[s+r-3+m]; window[i] = x[s-3+i]
+            b_up[r + m, r] = ae[m]
+            # so[s+r] = sum_m ao[m] * x[s+r-2+m]
+            b_up[r + m + 1, _LANE + r] = ao[m]
+    b_dn = np.zeros((2 * _W_UP, _LANE), np.float32)
+    for r in range(_LANE):
+        for m in range(6):
+            # out[s+r] = sum_m de[m]*E[s+r-2+m] + do[m]*O[s+r-3+m]
+            # E window[i] = E[s-2+i], O window[i] = O[s-3+i]
+            b_dn[r + m, r] = de[m]
+            b_dn[_W_UP + r + m, r] = do_[m]
+    return b_up, b_dn
+
+
+def _windows(arr, start: int, nblk: int):
+    """(C, L) -> (C*nblk, _W_UP) overlapping 128-stride windows
+    window[j, i] = arr[:, start + 128*j + i]. arr must extend at least
+    start + 128 + 128*nblk columns (tail beyond window col 8 is discarded)."""
+    c = arr.shape[0]
+    s1 = arr[:, start : start + nblk * _LANE].reshape(c, nblk, _LANE)
+    s2 = arr[:, start + _LANE : start + _LANE + nblk * _LANE]
+    s2 = s2.reshape(c, nblk, _LANE)[:, :, : _W_UP - _LANE]
+    return jnp.concatenate([s1, s2], axis=-1).reshape(c * nblk, _W_UP)
+
+
+def _kernel_nocopy_mxu(main_ref, hl_ref, hr_ref, bup_ref, bdn_ref, a_ref,
+                       ib_ref, out_ref, *, tt: int, t_real: int):
+    """MXU-FIR variant of _kernel_nocopy: full 128-lane halo blocks on both
+    sides; phase signals computed over the 128-aligned range
+    [t0-_OFF, t0+tt+_OFF) and consumed with static offsets."""
+    c = main_ref.shape[1]
+    xb = jnp.concatenate([hl_ref[0], main_ref[0], hr_ref[0]],
+                         axis=-1).astype(jnp.float32)  # [t0-128, t0+tt+128)
+    t0 = pl.program_id(1) * tt
+    px = t0 - _LANE + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tt + 2 * _LANE), 1)
+    x0 = jnp.sum(jnp.where(px == 0, xb, 0.0), axis=1, keepdims=True)
+    xn = jnp.sum(jnp.where(px == t_real - 1, xb, 0.0), axis=1, keepdims=True)
+    xb = jnp.where(px < 0, x0, jnp.where(px > t_real - 1, xn, xb))
+    # slack so window slice2 stays in bounds (values discarded)
+    xb = jnp.pad(xb, ((0, 0), (0, _LANE)))
+
+    nbu = tt // _LANE + 1  # phase blocks over [t0-_OFF, t0+tt+_OFF)
+    up = jax.lax.dot(
+        _windows(xb, _LANE - _OFF - 3, nbu), bup_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(c, nbu, 2 * _LANE)
+    se = up[:, :, :_LANE].reshape(c, nbu * _LANE)
+    so = up[:, :, _LANE:].reshape(c, nbu * _LANE)
+
+    a = a_ref[:].astype(jnp.float32)
+    ib = ib_ref[:].astype(jnp.float32)
+    se = se + ib * jnp.square(jnp.sin(se * a))
+    so = so + ib * jnp.square(jnp.sin(so * a))
+
+    pos = t0 - _OFF + jax.lax.broadcasted_iota(jnp.int32, (1, nbu * _LANE), 1)
+    first_e = jnp.sum(jnp.where(pos == 0, se, 0.0), axis=1, keepdims=True)
+    last_o = jnp.sum(jnp.where(pos == t_real - 1, so, 0.0), axis=1, keepdims=True)
+    head, tail = pos < 0, pos > t_real - 1
+    e = jnp.where(head, first_e, jnp.where(tail, last_o, se))
+    o = jnp.where(head, first_e, jnp.where(tail, last_o, so))
+    # slack for the down-window slice2
+    e = jnp.pad(e, ((0, 0), (0, _LANE)))
+    o = jnp.pad(o, ((0, 0), (0, _LANE)))
+
+    nbd = tt // _LANE
+    wins = jnp.concatenate(
+        [_windows(e, _OFF - 2, nbd).reshape(c, nbd, _W_UP),
+         _windows(o, _OFF - 3, nbd).reshape(c, nbd, _W_UP)], axis=-1)
+    out = jax.lax.dot(
+        wins.reshape(c * nbd, 2 * _W_UP), bdn_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(c, nbd * _LANE)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
 def snake_alias_cm_pallas(
     x: jax.Array,
     alpha: jax.Array,
@@ -176,11 +285,17 @@ def snake_alias_cm_pallas(
     k_up: int = 12,
     k_down: int = 12,
     interpret: bool | None = None,
+    mxu: bool = False,
 ) -> jax.Array:
     """Fused x2-up -> SnakeBeta -> x2-down on [B, C, T]; exact-edge semantics.
 
     Drop-in for ``snake_alias_fused_cm(x, alpha, beta, exact_edges=True)``.
     interpret=None auto-selects the Pallas interpreter off-TPU (tests).
+    mxu=True runs the phase FIRs as banded matmuls on the MXU (zero-copy
+    path only). Measured SLOWER than the VPU shifted-MAC form on v5e
+    (0.69 vs 0.56 ms at C=10/T=320k; 0.66 vs 0.45 at C=20/T=160k) — the
+    window-gather relayouts cost more than the MACs they offload — so the
+    default stays on the VPU form; kept for other hardware generations.
     """
     taps = _tap_floats(k_up, k_down)
     b, c, t = x.shape
@@ -196,29 +311,43 @@ def snake_alias_cm_pallas(
         nt = t // tt
         nb = tt // _LANE
         last = t // _LANE - 1
+        main_spec = pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
+                                 memory_space=pltpu.VMEM)
+        hl_spec = pl.BlockSpec(
+            (1, c, _LANE),
+            lambda bi, ti: (bi, 0, jnp.maximum(ti * nb - 1, 0)),
+            memory_space=pltpu.VMEM)
+        hr_spec = pl.BlockSpec(
+            (1, c, _LANE),
+            lambda bi, ti: (bi, 0, jnp.minimum((ti + 1) * nb, last)),
+            memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                                memory_space=pltpu.VMEM)
+        if mxu:
+            b_up, b_dn = _fir_matrices(k_up, k_down)
+            kernel = functools.partial(_kernel_nocopy_mxu, tt=tt, t_real=t)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+                grid=(b, nt),
+                in_specs=[
+                    main_spec, hl_spec, hr_spec,
+                    pl.BlockSpec((_W_UP, 2 * _LANE), lambda bi, ti: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * _W_UP, _LANE), lambda bi, ti: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    vec_spec, vec_spec,
+                ],
+                out_specs=main_spec,
+                interpret=interpret,
+            )(x, x, x, jnp.asarray(b_up), jnp.asarray(b_dn), af, ibf)
         kernel = functools.partial(_kernel_nocopy, taps=taps, tt=tt, t_real=t)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
             grid=(b, nt),
-            in_specs=[
-                pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, c, _LANE),
-                    lambda bi, ti: (bi, 0, jnp.maximum(ti * nb - 1, 0)),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, c, _LANE),
-                    lambda bi, ti: (bi, 0, jnp.minimum((ti + 1) * nb, last)),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[main_spec, hl_spec, hr_spec, vec_spec, vec_spec],
+            out_specs=main_spec,
             interpret=interpret,
         )(x, x, x, af, ibf)
 
