@@ -23,9 +23,19 @@ def main():
     from whisper_vits_svc_tpu.utils.config import load_config
     from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # batch 8 = reference default (configs/base.yaml:9). On one v5e chip the
+    # step is poorly saturated at batch 8; measured utt/s scales 53 -> 73.5
+    # -> 83.3 at batch 8/16/32 (the reference's batch-8 default was a 6 GB
+    # GPU VRAM constraint, reference README.md:233).
+    ap.add_argument("--batch", type=int, default=8)
+    args, _ = ap.parse_known_args()
+
     hp = load_config("configs/base.yaml")
     hp["data"]["training_files"] = "unused"
-    batch = 8
+    batch = args.batch
     t_frames = 300  # 3 s utterances (bucket midpoint)
     hop = hp.data.hop_length
 

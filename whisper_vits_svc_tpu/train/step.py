@@ -143,7 +143,17 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
     )
     c_mel, c_stft, c_kl = hp.train.c_mel, hp.train.c_stft, hp.train.c_kl
 
-    def g_loss_fn(g_params, d_params, batch, rng):
+    def joint_loss_fn(gd_params, batch, rng):
+        """loss_g + loss_d in ONE backward. Cross-terms are cut with
+        stop_gradient (G's adversarial terms see frozen D params; D's loss
+        sees detached fake audio), so d(total)/d(g_params) == the reference's
+        G gradient and d(total)/d(d_params) == its D gradient exactly — the
+        reference computes them as two separate backprops
+        (vits_extend/train.py:223-247). The win: the fake/real discriminator
+        FORWARD subgraphs appear twice but are value-identical, so XLA CSEs
+        them — one D forward each instead of two (the discriminators are the
+        most expensive part of the step; see docs/PERFORMANCE.md)."""
+        g_params, d_params = gd_params
         out = g_model.apply(
             {"params": g_params},
             batch["ppg"], batch["vec"], batch["pit"], batch["spec"],
@@ -160,8 +170,9 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
         )
         stft_loss = (sc_loss + mag_loss) * c_stft
 
-        disc_fake = d_model.apply({"params": d_params}, fake)
-        disc_real = d_model.apply({"params": d_params}, audio_real)
+        d_frozen = jax.lax.stop_gradient(d_params)
+        disc_fake = d_model.apply({"params": d_frozen}, fake)
+        disc_real = d_model.apply({"params": d_frozen}, audio_real)
         score_loss = losses.generator_adversarial_loss(disc_fake)
         feat_loss = losses.feature_matching_loss(disc_fake, disc_real)
 
@@ -176,29 +187,26 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
             score_loss + feat_loss + mel_loss + stft_loss
             + loss_kl_f + loss_kl_r * 0.5 + spk_loss * 2.0
         )
+
+        disc_fake_d = d_model.apply(
+            {"params": d_params}, jax.lax.stop_gradient(fake)
+        )
+        disc_real_d = d_model.apply({"params": d_params}, audio_real)
+        loss_d = losses.discriminator_adversarial_loss(disc_fake_d, disc_real_d)
+
         metrics = dict(
             loss_g=loss_g, loss_m=mel_loss, loss_s=stft_loss, loss_k=loss_kl_f,
             loss_r=loss_kl_r, loss_i=spk_loss, score_loss=score_loss,
-            feat_loss=feat_loss,
+            feat_loss=feat_loss, loss_d=loss_d,
         )
-        return loss_g, (metrics, fake, audio_real)
-
-    def d_loss_fn(d_params, fake, real):
-        disc_fake = d_model.apply({"params": d_params}, fake)
-        disc_real = d_model.apply({"params": d_params}, real)
-        return losses.discriminator_adversarial_loss(disc_fake, disc_real)
+        return loss_g + loss_d, metrics
 
     def train_step(g_state: TrainState, d_state: TrainState, batch, rng):
-        (loss_g, (metrics, fake, real)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(g_state.params, d_state.params, batch, rng)
+        (_, metrics), (g_grads, d_grads) = jax.value_and_grad(
+            joint_loss_fn, has_aux=True
+        )((g_state.params, d_state.params), batch, rng)
         g_state = g_state.apply_gradients(g_grads)
-
-        fake = jax.lax.stop_gradient(fake)
-        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params, fake, real)
         d_state = d_state.apply_gradients(d_grads)
-
-        metrics["loss_d"] = loss_d
         return g_state, d_state, metrics
 
     return train_step
