@@ -62,3 +62,31 @@ def test_train_step_data_parallel_8dev():
     # params stay replicated (no accidental resharding)
     leaf = jax.tree.leaves(g_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_dp_matches_single_device():
+    """The 8-way sharded step must produce the same losses and updated params
+    as the unsharded step on the identical batch — the psum-semantics
+    equivalence that replaces the reference's DDP all-reduce guarantee."""
+    hp = tiny_hp(batch_size=8)
+    rng = np.random.default_rng(2)
+    batch_np = make_batch(hp, rng, b=8)
+
+    g1, d1, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(hp, g_model, d_model))
+    g1, d1, m1 = step(g1, d1, batch_np, jax.random.PRNGKey(7))
+
+    g2, d2, _, _ = init_train_states(hp, jax.random.PRNGKey(0))
+    mesh = pmesh.create_mesh()
+    g2 = pmesh.replicate(g2, mesh)
+    d2 = pmesh.replicate(d2, mesh)
+    sharded = pmesh.shard_batch(batch_np, mesh)
+    g2, d2, m2 = step(g2, d2, sharded, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss_g"]), float(m2["loss_g"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
