@@ -211,3 +211,22 @@ def test_ampblock_fused_iter_matches_module(monkeypatch):
     y_ref = block_ref.apply(p_ref, x)
     y_pal = block_pal.apply(p_ref, x)
     np.testing.assert_allclose(y_pal, y_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_snake_bf16_io():
+    """--bf16 inference casts activations to bfloat16; the kernel must accept
+    bf16 in/out (computing in f32 internally) on both call paths."""
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm
+    from whisper_vits_svc_tpu.ops.pallas_snake import snake_alias_cm_pallas
+
+    rng = np.random.default_rng(6)
+    for (B, C, T) in [(1, 10, 1024), (1, 6, 700)]:  # nocopy + padded paths
+        x32 = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
+        x = x32.astype(jnp.bfloat16)
+        alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+        out = snake_alias_cm_pallas(x, alpha, beta)
+        assert out.dtype == jnp.bfloat16
+        ref = snake_alias_fused_cm(x32, alpha, beta, exact_edges=True)
+        np.testing.assert_allclose(out.astype(jnp.float32), ref,
+                                   atol=0.05, rtol=0.05)
