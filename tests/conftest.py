@@ -25,6 +25,42 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy compile / long-running tests excluded from the fast tier "
+        "(run `pytest -m 'not slow'` for the <2 min per-module sweep)",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def micro_train():
+    """Session-shared micro-config GAN stepper: ONE init + ONE compiled step
+    reused by every fast-tier train test (states are immutable pytrees, so
+    sharing is safe). Batch is always 8 / sharded over the full mesh +
+    replicated states — the realistic SPMD layout."""
+    from whisper_vits_svc_tpu.parallel import mesh as pmesh
+    from whisper_vits_svc_tpu.train.step import init_train_states, make_train_step
+    from whisper_vits_svc_tpu.utils.testing import micro_hp, synthetic_batch
+
+    hp = micro_hp(batch_size=8)
+    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    mesh = pmesh.create_mesh()
+    step = jax.jit(make_train_step(hp, g_model, d_model))
+
+    def batch_fn(rng=None, b=8, t=20):
+        rng = rng or np.random.default_rng(0)
+        return pmesh.shard_batch(synthetic_batch(hp, rng, b=b, t=t), mesh)
+
+    return dict(
+        hp=hp, mesh=mesh, step=step, batch_fn=batch_fn,
+        g_state=pmesh.replicate(g_state, mesh),
+        d_state=pmesh.replicate(d_state, mesh),
+        g_model=g_model, d_model=d_model,
+        g_state_host=g_state, d_state_host=d_state,
+    )

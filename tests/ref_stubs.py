@@ -27,9 +27,28 @@ def install():
         filters = _mod("librosa.filters")
 
         def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
-            from whisper_vits_svc_tpu.ops.mel import mel_filterbank
+            """Serve the reference code FROZEN golden filterbanks
+            (tests/golden/, validated independently by test_golden_mel.py) —
+            NOT this repo's ops/mel.py, so parity tests cannot be satisfied
+            circularly by a shared bug (VERDICT r1 weak #5)."""
+            import os
 
-            return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+            name = (
+                f"mel_{sr}_{n_fft}_{n_mels}_{int(fmin)}_"
+                f"{int(fmax if fmax is not None else sr / 2)}"
+            )
+            path = os.path.join(os.path.dirname(__file__), "golden", f"{name}.npy")
+            if os.path.exists(path):
+                return np.load(path)
+            # synthetic test-only configs (tiny_hp etc.) have no frozen golden;
+            # build them with the independent scalar-triangle construction —
+            # still NOT ops/mel.py, so parity stays non-circular
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+            from make_golden_mel import independent_filterbank
+
+            return independent_filterbank(
+                sr, n_fft, n_mels, fmin, fmax if fmax is not None else sr / 2
+            )
 
         filters.mel = mel
         librosa.filters = filters

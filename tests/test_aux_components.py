@@ -95,6 +95,7 @@ def test_med_discriminator_shapes(rng):
     assert np.isfinite(np.asarray(score)).all()
 
 
+@pytest.mark.slow
 def test_resnet_speaker_encoder(rng):
     from whisper_vits_svc_tpu.models.speaker_encoder import ResNetSpeakerEncoder
 

@@ -34,6 +34,46 @@ def tiny_infer():
     return hp, model, params
 
 
+@pytest.fixture(scope="module")
+def micro_infer():
+    """Fast-tier infer graph: micro depth (1 attn layer / 1 flow / 2 upsample
+    stages) — covers the pipeline machinery without the heavy compile."""
+    from whisper_vits_svc_tpu.utils.testing import micro_hp
+
+    hp = micro_hp()
+    model = pipeline.build_infer_model(hp)
+    import jax.numpy as jnp
+
+    t = 8
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, hp.vits.ppg_dim)), jnp.zeros((1, t, hp.vits.vec_dim)),
+        jnp.full((1, t), 200.0), jnp.zeros((1, hp.vits.spk_dim)),
+        jnp.full((1,), t, jnp.int32),
+        jnp.zeros((1, t * hp.data.hop_length, 1)),
+    )["params"]
+    return hp, model, params
+
+
+def test_chunked_micro_fast(micro_infer, rng):
+    """Fast-tier version of test_chunked_close_to_oneshot: chunk loop with
+    whole-utterance excitation + overlap trim vs one-shot synthesis."""
+    hp, model, params = micro_infer
+    t = 50
+    ppg, vec, pit, spk = _features(hp, rng, t)
+    one = pipeline.svc_infer(
+        model, params, DummyRetrieval(), spk, pit, ppg, vec, hp,
+        noise_scale=0.0, out_chunk=t + 10, hop_frame=4,
+    )
+    chunked = pipeline.svc_infer(
+        model, params, DummyRetrieval(), spk, pit, ppg, vec, hp,
+        noise_scale=0.0, out_chunk=20, hop_frame=4,
+    )
+    assert len(one) == len(chunked) == t * hp.data.hop_length
+    assert np.isfinite(chunked).all()
+    assert np.median(np.abs(one - chunked)) < 2e-2
+
+
 def _features(hp, rng, t):
     return (
         rng.standard_normal((t, hp.vits.ppg_dim)).astype(np.float32) * 0.1,
@@ -43,6 +83,7 @@ def _features(hp, rng, t):
     )
 
 
+@pytest.mark.slow
 def test_chunked_close_to_oneshot(tiny_infer, rng):
     """Chunk loop with overlap trim stays close to single-shot synthesis.
 
@@ -76,6 +117,7 @@ def test_chunked_close_to_oneshot(tiny_infer, rng):
     assert jumps[seams - 1].max() <= jumps.max() * 1.5 + 1e-6
 
 
+@pytest.mark.slow
 def test_chunk_batched_matches_sequential(tiny_infer, rng):
     """chunk_batch>1 stacks chunks on a vmapped batch axis with per-chunk rngs
     (same fold_in stream as the sequential walk), so output must match the
@@ -94,6 +136,7 @@ def test_chunk_batched_matches_sequential(tiny_infer, rng):
     np.testing.assert_allclose(seq, bat, atol=2e-6, rtol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunk_batched_mesh_sharded(tiny_infer, rng):
     """Chunk batch sharded across the 8-device CPU mesh (data-parallel
     long-audio synthesis, SURVEY.md §5.7) matches the sequential output."""
@@ -114,6 +157,7 @@ def test_chunk_batched_mesh_sharded(tiny_infer, rng):
     np.testing.assert_allclose(shd, seq, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_inference_close_to_f32(tiny_infer, rng):
     import jax.numpy as jnp
 

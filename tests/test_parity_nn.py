@@ -220,6 +220,7 @@ def _source_f64(f0, hop, sr):
 # ---------------------------------------------------------------- generator
 
 
+@pytest.mark.slow
 def test_generator_inference_parity():
     from vits_decoder.generator import Generator as TGen
 
@@ -256,6 +257,7 @@ def test_generator_inference_parity():
 # ---------------------------------------------------------------- discriminators
 
 
+@pytest.mark.slow
 def test_discriminator_parity():
     from vits_decoder.mpd import MultiPeriodDiscriminator
     from vits_decoder.mrd import DiscriminatorR
@@ -305,6 +307,7 @@ def test_discriminator_parity():
 # ---------------------------------------------------------------- full infer graph
 
 
+@pytest.mark.slow
 def test_synthesizer_infer_parity():
     from vits import models as tmodels
 

@@ -13,6 +13,7 @@ import sys
 import types
 from unittest import mock
 
+import pytest
 import numpy as np
 import torch
 
@@ -54,6 +55,7 @@ def _zeros(*shape, **kw):
     return torch.zeros(*shape, **kw)
 
 
+@pytest.mark.slow
 def test_training_losses_match_reference(rng):
     from vits.losses import kl_loss as t_kl_loss
     from vits.models import SynthesizerTrn as TTrn

@@ -101,6 +101,7 @@ def test_channel_major_snake_matches_ntc():
         assert a.shape == b.shape
 
 
+@pytest.mark.slow
 def test_generator_channel_major_matches_ntc():
     import jax
     from whisper_vits_svc_tpu.models.generator import Generator
@@ -141,6 +142,7 @@ def test_pallas_snake_matches_cm():
         np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_generator_pallas_snake_matches_jnp(monkeypatch):
     """Full generator with pallas_snake=True (interpret mode on CPU) matches
     the jnp CM path; params are identical between the two. The shape gate is
@@ -168,6 +170,7 @@ def test_generator_pallas_snake_matches_jnp(monkeypatch):
     np.testing.assert_allclose(y1, y2, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_amp_iter_kernel_matches_ref():
     """Fused AMP dilation-iteration kernel == jnp composition, incl. conv
     zero-pad and snake edge-replicate boundary semantics, every AMP kernel
@@ -190,6 +193,7 @@ def test_amp_iter_kernel_matches_ref():
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ampblock_fused_iter_matches_module(monkeypatch):
     """AMPBlock with the fused-iteration path (gate lifted) == the module
     composition, with an identical parameter tree."""

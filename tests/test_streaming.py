@@ -1,5 +1,6 @@
 """Streaming SVC: phase continuity and closeness to offline synthesis."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -29,6 +30,7 @@ def test_nsf_streaming_phase_continuity(rng):
     np.testing.assert_allclose(streamed, whole, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_svc_matches_offline(rng):
     hp = tiny_hp()
     model = pipeline.build_infer_model(hp)

@@ -17,9 +17,7 @@ from whisper_vits_svc_tpu.utils.audio_io import save_wav
 from whisper_vits_svc_tpu.utils.testing import tiny_hp
 
 
-@pytest.fixture
-def data_dir(tmp_path, rng):
-    hp = tiny_hp()
+def _make_data(tmp_path, rng, hp):
     hop = hp.data.hop_length
     sr = hp.data.sampling_rate
     seg_frames = hp.data.segment_size // hop  # 8
@@ -47,6 +45,11 @@ def data_dir(tmp_path, rng):
     return tmp_path, fl, hp
 
 
+@pytest.fixture
+def data_dir(tmp_path, rng):
+    return _make_data(tmp_path, rng, tiny_hp())
+
+
 def test_dataset_and_batcher(data_dir, rng):
     tmp_path, fl, hp = data_dir
     ds = SvcDataset(str(fl), hp.data)
@@ -71,10 +74,12 @@ def test_dataset_and_batcher(data_dir, rng):
     np.testing.assert_array_equal(b0[0]["ppg_l"], b1[0]["ppg_l"])
 
 
-def test_train_loop_end_to_end(data_dir, tmp_path):
+@pytest.mark.slow
+def test_train_loop_end_to_end(tmp_path, rng):
     from whisper_vits_svc_tpu.train.loop import train
+    from whisper_vits_svc_tpu.utils.testing import micro_hp
 
-    tmp_path_, fl, hp = data_dir
+    tmp_path_, fl, hp = _make_data(tmp_path, rng, micro_hp())
     hp["data"]["training_files"] = str(fl)
     hp["data"]["validation_files"] = str(fl)
     hp["train"]["pretrain"] = ""

@@ -1,12 +1,11 @@
-"""Train-step tests: single-device convergence sanity + 8-way data-parallel SPMD.
+"""Train-step tests: SPMD GAN step semantics on the 8-device virtual mesh.
 
-The tiny-config GAN step must (a) run and produce finite losses, (b) actually
-update both param trees, (c) compile and execute with the batch sharded over
-the full 8-device virtual mesh (the NCCL-DDP replacement path).
+Fast tier: every test shares the session-scoped `micro_train` fixture (ONE
+init + ONE compiled step, micro config). The heavier tiny-config DP-equality
+and single-device sweeps are marked `slow`.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -14,79 +13,141 @@ from whisper_vits_svc_tpu.parallel import mesh as pmesh
 from whisper_vits_svc_tpu.train.step import (
     init_train_states, make_train_step, set_learning_rate,
 )
-from whisper_vits_svc_tpu.utils.config import config_from_dict
 from whisper_vits_svc_tpu.utils.testing import synthetic_batch as make_batch, tiny_hp
 
 
-def test_train_step_runs_and_updates():
-    hp = tiny_hp()
-    rng = np.random.default_rng(0)
-    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(hp, g_model, d_model))
-
-    batch = make_batch(hp, rng)
-    g0 = jax.tree.leaves(g_state.params)[0].copy()
-    d0 = jax.tree.leaves(d_state.params)[0].copy()
+def test_train_step_runs_and_updates(micro_train):
+    mt = micro_train
+    g_state, d_state = mt["g_state"], mt["d_state"]
+    batch = mt["batch_fn"]()
+    g0 = np.asarray(jax.tree.leaves(g_state.params)[0])
+    d0 = np.asarray(jax.tree.leaves(d_state.params)[0])
     metrics = None
     for i in range(2):  # accum_step=2 -> G applies on 2nd call
-        g_state, d_state, metrics = step(
+        g_state, d_state, metrics = mt["step"](
             g_state, d_state, batch, jax.random.PRNGKey(10 + i)
         )
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     assert not np.allclose(jax.tree.leaves(g_state.params)[0], g0), "G params frozen"
     assert not np.allclose(jax.tree.leaves(d_state.params)[0], d0), "D params frozen"
-
-    # per-epoch LR decay plumbing
-    g_state = set_learning_rate(g_state, 1e-4)
-    d_state = set_learning_rate(d_state, 1e-4)
-    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(99))
-    assert np.isfinite(float(metrics["loss_g"]))
-
-
-def test_train_step_data_parallel_8dev():
-    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
-    hp = tiny_hp(batch_size=8)
-    rng = np.random.default_rng(1)
-    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
-    mesh = pmesh.create_mesh()
-    step = jax.jit(make_train_step(hp, g_model, d_model))
-
-    batch = pmesh.shard_batch(make_batch(hp, rng, b=8), mesh)
-    g_state = pmesh.replicate(g_state, mesh)
-    d_state = pmesh.replicate(d_state, mesh)
-    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(3))
-    g_state, d_state, metrics = step(g_state, d_state, batch, jax.random.PRNGKey(4))
-    assert np.isfinite(float(metrics["loss_g"]))
-    assert np.isfinite(float(metrics["loss_d"]))
     # params stay replicated (no accidental resharding)
-    leaf = jax.tree.leaves(g_state.params)[0]
-    assert leaf.sharding.is_fully_replicated
+    assert jax.tree.leaves(g_state.params)[0].sharding.is_fully_replicated
 
 
-def test_train_step_dp_matches_single_device():
+def test_set_learning_rate_is_functional_and_effective(micro_train):
+    """set_learning_rate must rebuild the opt-state pytree (no aliasing with
+    the old state) and the new LR must change the applied update under jit +
+    replication: lr=0 => AdamW update is exactly zero (optax scales the
+    decayed-weights term by lr too)."""
+    mt = micro_train
+    hp = mt["hp"]
+    g_state, d_state = mt["g_state"], mt["d_state"]
+    batch = mt["batch_fn"]()
+
+    # functional: returned state is new; original opt_state leaf is untouched
+    d_zero = set_learning_rate(d_state, 0.0)
+    np.testing.assert_allclose(
+        float(d_state.opt_state.hyperparams["learning_rate"]),
+        hp.train.learning_rate / hp.train.accum_step, rtol=1e-6)
+    assert float(d_zero.opt_state.hyperparams["learning_rate"]) == 0.0
+
+    # step with lr_d=0: D params must not move. Re-replicate after
+    # set_learning_rate (the rebuilt lr scalar is uncommitted; replicating
+    # keeps the input shardings identical to the fixture's compiled layout).
+    d_zero = pmesh.replicate(d_zero, mt["mesh"])
+    _, d_after, _ = mt["step"](g_state, d_zero, batch, jax.random.PRNGKey(5))
+    for a, b in zip(jax.tree.leaves(d_after.params), jax.tree.leaves(d_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and with a real lr the same step DOES move D params
+    d_hot = pmesh.replicate(set_learning_rate(d_state, 1e-3), mt["mesh"])
+    _, d_after2, _ = mt["step"](g_state, d_hot, batch, jax.random.PRNGKey(5))
+    assert not np.allclose(jax.tree.leaves(d_after2.params)[0],
+                           np.asarray(jax.tree.leaves(d_state.params)[0]))
+
+    # MultiSteps (G) path: inner hyperparams rebuilt, not mutated
+    g_zero = set_learning_rate(g_state, 0.0)
+    np.testing.assert_allclose(
+        float(g_state.opt_state.inner_opt_state.hyperparams["learning_rate"]),
+        hp.train.learning_rate, rtol=1e-6)
+    assert float(g_zero.opt_state.inner_opt_state.hyperparams["learning_rate"]) == 0.0
+
+
+def test_train_step_dp_matches_single_device(micro_train):
     """The 8-way sharded step must produce the same losses and updated params
     as the unsharded step on the identical batch — the psum-semantics
     equivalence that replaces the reference's DDP all-reduce guarantee."""
-    hp = tiny_hp(batch_size=8)
+    mt = micro_train
+    hp = mt["hp"]
     rng = np.random.default_rng(2)
-    batch_np = make_batch(hp, rng, b=8)
+    from whisper_vits_svc_tpu.utils.testing import synthetic_batch
 
-    g1, d1, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(hp, g_model, d_model))
-    g1, d1, m1 = step(g1, d1, batch_np, jax.random.PRNGKey(7))
+    batch_np = synthetic_batch(hp, rng, b=8)
 
-    g2, d2, _, _ = init_train_states(hp, jax.random.PRNGKey(0))
-    mesh = pmesh.create_mesh()
-    g2 = pmesh.replicate(g2, mesh)
-    d2 = pmesh.replicate(d2, mesh)
-    sharded = pmesh.shard_batch(batch_np, mesh)
-    g2, d2, m2 = step(g2, d2, sharded, jax.random.PRNGKey(7))
+    g1, d1, m1 = mt["step"](
+        mt["g_state_host"], mt["d_state_host"], batch_np, jax.random.PRNGKey(7)
+    )
 
-    np.testing.assert_allclose(float(m1["loss_g"]), float(m2["loss_g"]),
-                               rtol=2e-4)
-    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]),
-                               rtol=2e-4)
+    sharded = pmesh.shard_batch(batch_np, mt["mesh"])
+    g2, d2, m2 = mt["step"](mt["g_state"], mt["d_state"], sharded, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss_g"]), float(m2["loss_g"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m1["loss_d"]), float(m2["loss_d"]), rtol=2e-4)
     for a, b in zip(jax.tree.leaves(g1.params), jax.tree.leaves(g2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_overfit_one_batch(micro_train):
+    """Convergence evidence (VERDICT r1 #3): repeatedly stepping on ONE fixed
+    batch must drive the reconstruction losses down and must not collapse the
+    discriminator. This is what separates 'the step runs' from 'training
+    works' — the reference's implicit QA is epochs of real training
+    (vits_extend/train.py:259-277)."""
+    mt = micro_train
+    # host (unsharded) layout: ~5x faster per step than the 8-virtual-device
+    # mesh on CPU, and shares its compilation with the DP-equality test
+    g_state, d_state = mt["g_state_host"], mt["d_state_host"]
+    from whisper_vits_svc_tpu.utils.testing import synthetic_batch
+
+    batch = synthetic_batch(mt["hp"], np.random.default_rng(3), b=8, t=20)
+
+    n_steps = 140
+    first = last = None
+    window = []
+    for i in range(n_steps):
+        g_state, d_state, metrics = mt["step"](
+            g_state, d_state, batch, jax.random.PRNGKey(1000 + i)
+        )
+        if i == 4:
+            first = {k: float(v) for k, v in metrics.items()}
+        window.append(float(metrics["loss_m"]) + float(metrics["loss_s"]))
+    last = {k: float(v) for k, v in metrics.items()}
+    early = np.mean(window[:10])
+    late = np.mean(window[-10:])
+    # reconstruction (mel + MR-STFT) must fall by >=25% when overfitting one batch
+    assert late < 0.75 * early, f"no convergence: {early:.3f} -> {late:.3f}"
+    # discriminator healthy: loss_d stays finite and away from 0 (collapse)
+    assert 0.05 < last["loss_d"] < 3.0, last["loss_d"]
+    for k, v in last.items():
+        assert np.isfinite(v), f"{k} diverged"
+
+
+@pytest.mark.slow
+def test_train_step_tiny_config_full_depth():
+    """Reference-depth (tiny dims) config still steps and updates — the micro
+    fixture covers semantics; this covers the deep graph."""
+    hp = tiny_hp()
+    rng = np.random.default_rng(0)
+    g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(hp, g_model, d_model))
+    batch = make_batch(hp, rng)
+    g0 = np.asarray(jax.tree.leaves(g_state.params)[0])
+    for i in range(2):
+        g_state, d_state, metrics = step(
+            g_state, d_state, batch, jax.random.PRNGKey(10 + i)
+        )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.allclose(jax.tree.leaves(g_state.params)[0], g0)

@@ -55,6 +55,9 @@ def build_infer_model(hp: Config, fast_edges: bool = False,
         sampling_rate=hp.data.sampling_rate,
         snake_exact_edges=not fast_edges,
         pallas_snake=pallas_snake and not fast_edges,
+        enc_p_layers=hp.vits.get("enc_p_layers", 6),
+        flow_wn_layers=hp.vits.get("flow_wn_layers", 4),
+        n_flows=hp.vits.get("n_flows", 4),
     )
 
 
@@ -64,7 +67,8 @@ def load_svc_model(path: str, model: SynthesizerInfer, hp: Config):
     import jax
 
     dummy_t = 8
-    init = model.init(
+    # jit: flax init is eager per-op dispatch otherwise (slow on CPU)
+    init = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         jnp.zeros((1, dummy_t, hp.vits.ppg_dim)),
         jnp.zeros((1, dummy_t, hp.vits.vec_dim)),

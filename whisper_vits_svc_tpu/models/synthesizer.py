@@ -159,23 +159,29 @@ class SynthesizerTrn(nn.Module):
     resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
     sampling_rate: int = 32000
+    # structural depth knobs (defaults == reference vits/models.py:149-177;
+    # shrunk only by the micro test config, utils/testing.py::micro_hp)
+    enc_p_layers: int = 6
+    enc_q_layers: int = 16
+    flow_wn_layers: int = 4
+    n_flows: int = 4
 
     def setup(self):
         self.emb_g = Dense(self.gin_channels, name="emb_g")
         self.enc_p = TextEncoder(
             self.ppg_dim, self.vec_dim, self.inter_channels, self.hidden_channels,
-            self.filter_channels, 2, 6, 3, 0.1, name="enc_p",
+            self.filter_channels, 2, self.enc_p_layers, 3, 0.1, name="enc_p",
         )
         self.speaker_classifier = SpeakerClassifier(
             self.hidden_channels, self.spk_dim, name="speaker_classifier"
         )
         self.enc_q = PosteriorEncoder(
-            self.inter_channels, self.hidden_channels, 5, 1, 16,
+            self.inter_channels, self.hidden_channels, 5, 1, self.enc_q_layers,
             gin_channels=self.gin_channels, name="enc_q",
         )
         self.flow = ResidualCouplingBlock(
-            self.inter_channels, self.hidden_channels, 5, 1, 4,
-            gin_channels=self.spk_dim, name="flow",
+            self.inter_channels, self.hidden_channels, 5, 1, self.flow_wn_layers,
+            n_flows=self.n_flows, gin_channels=self.spk_dim, name="flow",
         )
         self.dec = Generator(
             upsample_input=self.inter_channels,
@@ -252,15 +258,20 @@ class SynthesizerInfer(nn.Module):
     sampling_rate: int = 32000
     snake_exact_edges: bool = True
     pallas_snake: bool = False
+    # structural depth knobs — must match the SynthesizerTrn the checkpoint
+    # was trained with (defaults == reference vits/models.py:211-243)
+    enc_p_layers: int = 6
+    flow_wn_layers: int = 4
+    n_flows: int = 4
 
     def setup(self):
         self.enc_p = TextEncoder(
             self.ppg_dim, self.vec_dim, self.inter_channels, self.hidden_channels,
-            self.filter_channels, 2, 6, 3, 0.1, name="enc_p",
+            self.filter_channels, 2, self.enc_p_layers, 3, 0.1, name="enc_p",
         )
         self.flow = ResidualCouplingBlock(
-            self.inter_channels, self.hidden_channels, 5, 1, 4,
-            gin_channels=self.spk_dim, name="flow",
+            self.inter_channels, self.hidden_channels, 5, 1, self.flow_wn_layers,
+            n_flows=self.n_flows, gin_channels=self.spk_dim, name="flow",
         )
         self.dec = Generator(
             upsample_input=self.inter_channels,

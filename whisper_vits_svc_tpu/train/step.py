@@ -65,6 +65,11 @@ def build_models(hp) -> tuple[SynthesizerTrn, Discriminator]:
         resblock_kernel_sizes=tuple(hp.gen.resblock_kernel_sizes),
         resblock_dilation_sizes=tuple(tuple(d) for d in hp.gen.resblock_dilation_sizes),
         sampling_rate=hp.data.sampling_rate,
+        # depth knobs default to reference values; only micro_hp shrinks them
+        enc_p_layers=hp.vits.get("enc_p_layers", 6),
+        enc_q_layers=hp.vits.get("enc_q_layers", 16),
+        flow_wn_layers=hp.vits.get("flow_wn_layers", 4),
+        n_flows=hp.vits.get("n_flows", 4),
     )
     d = Discriminator(
         mrd_resolutions=tuple(tuple(r) for r in hp.mrd.resolutions),
@@ -84,14 +89,23 @@ def _adamw(lr, betas, eps):
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Per-epoch ExponentialLR (reference train.py:146-147, gamma=lr_decay)."""
+    """Per-epoch ExponentialLR (reference train.py:146-147, gamma=lr_decay).
+
+    Rebuilds the opt-state pytree functionally (no in-place mutation — the
+    state may be device-replicated and donated into jit; mutating a leaf dict
+    would silently desynchronize shardings)."""
+
+    def _with_lr(inject_state):
+        hyper = dict(inject_state.hyperparams)
+        hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return inject_state._replace(hyperparams=hyper)
+
     opt_state = state.opt_state
     if isinstance(opt_state, optax.MultiStepsState):
-        inner = opt_state.inner_opt_state
-        inner.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        opt_state = opt_state._replace(inner_opt_state=_with_lr(opt_state.inner_opt_state))
     else:
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    return state
+        opt_state = _with_lr(opt_state)
+    return state.replace(opt_state=opt_state)
 
 
 def init_train_states(hp, rng) -> tuple[TrainState, TrainState, SynthesizerTrn, Discriminator]:
@@ -109,13 +123,15 @@ def init_train_states(hp, rng) -> tuple[TrainState, TrainState, SynthesizerTrn, 
         spec_l=jnp.full((b,), t_frames, jnp.int32),
     )
     rng, g_rng, n_rng = jax.random.split(rng, 3)
-    g_params = g_model.init(
+    # flax init runs eagerly (per-op dispatch); jit compiles it as one XLA
+    # program — ~3x faster trainer bring-up on CPU, free on TPU
+    g_params = jax.jit(g_model.init)(
         {"params": g_rng, "noise": n_rng, "dropout": n_rng},
         dummy["ppg"], dummy["vec"], dummy["pit"], dummy["spec"], dummy["spk"],
         dummy["ppg_l"], dummy["spec_l"],
     )["params"]
     rng, d_rng = jax.random.split(rng)
-    d_params = d_model.init(d_rng, jnp.zeros((b, seg, 1)))["params"]
+    d_params = jax.jit(d_model.init)(d_rng, jnp.zeros((b, seg, 1)))["params"]
 
     lr = hp.train.learning_rate
     g_tx = optax.MultiSteps(

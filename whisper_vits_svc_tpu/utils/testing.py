@@ -36,6 +36,25 @@ def tiny_hp(batch_size: int = 2) -> Config:
     )
 
 
+def micro_hp(batch_size: int = 2) -> Config:
+    """The fast-tier config: every architectural element present exactly once
+    (1 transformer layer, 1 posterior WN layer, 1 flow coupling, 2 upsample
+    stages, 1 resblock dilation, 1 MPD period, 1 MRD resolution) so the XLA
+    graph is ~10x smaller than tiny_hp's and the train step compiles in
+    seconds on CPU. Semantics are identical — only depth changes."""
+    hp = tiny_hp(batch_size=batch_size)
+    hp.vits.update(enc_p_layers=1, enc_q_layers=1, flow_wn_layers=1, n_flows=1)
+    hp.gen.update(
+        upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+        upsample_initial_channel=32, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1]],
+    )
+    hp.data.update(segment_size=128, hop_length=8)
+    hp.mpd.update(periods=[2])
+    hp.mrd.update(resolutions=[[64, 16, 32]])
+    return hp
+
+
 def synthetic_batch(hp: Config, rng: np.random.Generator, b: int = 2, t: int = 20) -> dict:
     hop = hp.data.hop_length
     return dict(
