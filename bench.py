@@ -86,14 +86,45 @@ def main():
         ms_per_call = best * 1e3
 
     rtf = audio_seconds_per_call / (ms_per_call / 1e3)
-    print(json.dumps({
+    record = {
         "metric": "synthesis_realtime_factor",
         "value": round(rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(rtf / 1.0, 2),
         "method": method,
         "device_ms_per_10s_chunk": round(ms_per_call, 2),
-    }))
+    }
+
+    # Compound end-to-end RTF (whisper PPG + hubert vec + crepe F0 + this
+    # synthesis graph) — the measured counterclaim to the reference's
+    # "real-time conversion not supported" (reference README.md:22).
+    # BENCH_E2E=0 skips the three extra extractor compiles.
+    import os
+    import sys
+
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.bench_e2e import measure_extractor_stages
+
+            stages = measure_extractor_stages()
+            stages["synthesis"] = {
+                "device_ms": round(ms_per_call, 2), "rtf": round(rtf, 1),
+                "audio_s_per_call": audio_seconds_per_call,
+            }
+            sec_per_audio_sec = sum(
+                (v["device_ms"] / 1e3) / v["audio_s_per_call"]
+                for v in stages.values()
+            )
+            record["end_to_end_rtf"] = round(1.0 / sec_per_audio_sec, 2)
+            record["e2e_stages"] = {
+                k: {"device_ms": v["device_ms"], "rtf": v["rtf"]}
+                for k, v in stages.items()
+            }
+        except Exception as e:  # never lose the headline number
+            print(f"e2e stage measurement failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

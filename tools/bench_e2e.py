@@ -23,17 +23,18 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def measure_extractor_stages():
+    """Device-trace RTF of the three feature extractors (whisper/hubert/crepe).
+    Returns {stage: {device_ms, rtf, audio_s_per_call}} — importable by
+    bench.py so the driver's single JSON line carries the compound e2e RTF."""
     import jax
     import jax.numpy as jnp
 
     from whisper_vits_svc_tpu.models.crepe import Crepe, normalize_frames
     from whisper_vits_svc_tpu.models.hubert import HubertSoft
-    from whisper_vits_svc_tpu.models.synthesizer import SynthesizerInfer
     from whisper_vits_svc_tpu.models.whisper import (
         WhisperEncoder, log_mel_spectrogram, WINDOW_SAMPLES,
     )
-    from whisper_vits_svc_tpu.nn.nsf import source_hn_nsf
     from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
 
     rng = np.random.default_rng(0)
@@ -97,6 +98,44 @@ def main():
 
     bench("crepe_f0", crepe_f0,
           lambda i: (cparams, jnp.asarray(frames + i * 1e-5)), 512 * 160 / 16000)
+    return results
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.models.synthesizer import SynthesizerInfer
+    from whisper_vits_svc_tpu.nn.nsf import source_hn_nsf
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    rng = np.random.default_rng(0)
+    results = measure_extractor_stages()
+
+    def bench(name, fn, args_fn, audio_seconds):
+        """jit fn under a distinct name, trace 4 perturbed calls."""
+        jfn = jax.jit(fn)
+        out = jfn(*args_fn(0))
+        jax.block_until_ready(out)
+
+        def run_calls():
+            o = None
+            for i in range(1, 5):
+                o = jfn(*args_fn(i))
+            jax.block_until_ready(o)
+
+        ms = measure_device_ms(run_calls, name_prefix=f"jit_{fn.__name__}")
+        if ms is None:
+            import time
+            best = float("inf")
+            for i in range(5, 10):
+                t0 = time.perf_counter()
+                jax.block_until_ready(jfn(*args_fn(i)))
+                best = min(best, time.perf_counter() - t0)
+            ms = best * 1e3
+        rtf = audio_seconds / (ms / 1e3)
+        results[name] = {"device_ms": round(ms, 2), "rtf": round(rtf, 1),
+                         "audio_s_per_call": audio_seconds}
 
     # --- synthesis: 10 s chunk, same graph as bench.py ---
     sr, hop, t = 32000, 320, 1000

@@ -22,8 +22,16 @@ MODEL_AXIS = "model"
 
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int = 1, process_id: int = 0) -> None:
-    """Multi-host bring-up (replaces tcp://localhost NCCL rendezvous)."""
+    """Multi-host bring-up (replaces tcp://localhost NCCL rendezvous).
+
+    Idempotent: callers that must initialize before their first backend touch
+    (jax.distributed.initialize rejects later calls) can do so themselves and
+    still run the training loop, which re-invokes this."""
     if coordinator_address and num_processes > 1:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized (e.g. by the launching script)
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
@@ -50,9 +58,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch pytree with batch-dim sharding."""
+    """Device-put a host batch pytree with batch-dim sharding.
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    initialize_distributed): each process holds only ITS rank's shard (the
+    rank-sharded BucketBatcher output); the global array is assembled with
+    jax.make_array_from_process_local_data — the global batch dim is
+    local_batch * process_count, and process-major device ordering in the
+    mesh aligns rank r's rows with its addressable devices. This is the
+    multi-host half of the NCCL-DDP replacement (SURVEY.md §5.8)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
