@@ -156,6 +156,13 @@ def test_chunk_batched_mesh_sharded(tiny_infer, rng):
     # CPU collectives reduce in a fixed order; allow only tiny reassociation
     np.testing.assert_allclose(shd, seq, atol=1e-5, rtol=1e-5)
 
+    # Pallas snake stays enabled under the mesh (shard_map wraps the
+    # per-chunk body — VERDICT r1 #6); interpret-mode kernel on CPU.
+    model_pl = pipeline.build_infer_model(hp, pallas_snake=True)
+    shd_pl = pipeline.svc_infer(model_pl, params, DummyRetrieval(), spk, pit,
+                                ppg, vec, hp, mesh=mesh, **kw)
+    np.testing.assert_allclose(shd_pl, shd, atol=5e-5, rtol=5e-5)
+
 
 @pytest.mark.slow
 def test_bf16_inference_close_to_f32(tiny_infer, rng):

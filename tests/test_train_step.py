@@ -134,6 +134,35 @@ def test_overfit_one_batch(micro_train):
         assert np.isfinite(v), f"{k} diverged"
 
 
+def test_bf16_discriminator_close_to_f32(micro_train):
+    """train.bf16_discriminator runs the D conv stacks in bf16 (MXU-native)
+    with f32 params/losses/STFT front-ends; scores must track f32 closely."""
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.models.discriminator import Discriminator
+
+    hp = micro_train["hp"]
+    kw = dict(
+        mrd_resolutions=tuple(tuple(r) for r in hp.mrd.resolutions),
+        mpd_periods=tuple(hp.mpd.periods),
+    )
+    d32 = Discriminator(**kw)
+    d16 = Discriminator(**kw, compute_dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, hp.data.segment_size, 1)),
+        jnp.float32) * 0.3
+    params = jax.jit(d32.init)(jax.random.PRNGKey(0), x)["params"]
+    o32 = jax.jit(lambda p, x: d32.apply({"params": p}, x))(params, x)
+    o16 = jax.jit(lambda p, x: d16.apply({"params": p}, x))(params, x)
+    for (f32s, s32), (f16s, s16) in zip(o32, o16):
+        assert s16.dtype == jnp.float32
+        rel = float(jnp.abs(s32 - s16).mean() / (jnp.abs(s32).mean() + 1e-8))
+        assert rel < 0.05, rel
+        for a, b in zip(f32s, f16s):
+            assert b.dtype == jnp.float32
+            assert np.isfinite(np.asarray(b)).all()
+
+
 @pytest.mark.slow
 def test_train_step_tiny_config_full_depth():
     """Reference-depth (tiny dims) config still steps and updates — the micro

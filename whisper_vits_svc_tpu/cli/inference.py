@@ -119,8 +119,9 @@ def main_from_namespace(args):
     hp = load_config(args.config)
     auto_extract(args)
 
-    model = pipeline.build_infer_model(
-        hp, pallas_snake=False if getattr(args, "mesh_data", 0) else None)
+    # mesh-sharded synthesis keeps the Pallas kernels: svc_infer wraps the
+    # per-chunk body in shard_map, so each chip runs the single-chunk program
+    model = pipeline.build_infer_model(hp)
     params = pipeline.load_svc_model(args.model, model, hp)
     retrieval = (
         create_retrieval(

@@ -23,9 +23,12 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     lrelu_slope: float = 0.2
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         fmap = []
         b, t, c = x.shape
         if t % self.period != 0:
@@ -49,6 +52,9 @@ class DiscriminatorP(nn.Module):
         fmap.append(x)
         x = Conv2d(1, (3, 1), padding=(1, 0), weight_norm=True, name="conv_post")(x)
         fmap.append(x)
+        if self.compute_dtype is not None:
+            fmap = [f.astype(jnp.float32) for f in fmap]
+            x = x.astype(jnp.float32)
         return fmap, x.reshape(b, -1)
 
 
@@ -57,14 +63,19 @@ class DiscriminatorR(nn.Module):
 
     resolution: tuple[int, int, int]   # (n_fft, hop, win_length)
     lrelu_slope: float = 0.2
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
         fmap = []
         n_fft, hop, win = self.resolution
-        mag = mrd_magnitude(x[..., 0], n_fft, hop, win)  # [B, frames, bins]
+        # the STFT front-end stays f32 regardless of compute dtype (magnitude
+        # cancellation is precision-sensitive); only the conv stack drops
+        mag = mrd_magnitude(x[..., 0].astype(jnp.float32), n_fft, hop, win)
         # torch conv sees [B, 1, bins(freq=H), frames(W)] -> NHWC [B, bins, frames, 1]
         h = mag.transpose(0, 2, 1)[..., None]
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
         specs = [
             dict(kernel_size=(3, 9), stride=(1, 1), padding=(1, 4)),
             dict(kernel_size=(3, 9), stride=(1, 2), padding=(1, 4)),
@@ -78,14 +89,21 @@ class DiscriminatorR(nn.Module):
             fmap.append(h)
         h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True, name="conv_post")(h)
         fmap.append(h)
+        if self.compute_dtype is not None:
+            fmap = [f.astype(jnp.float32) for f in fmap]
+            h = h.astype(jnp.float32)
         return fmap, h.reshape(h.shape[0], -1)
 
 
 class ScaleDiscriminator(nn.Module):
     """Raw-waveform scale discriminator (reference vits_decoder/msd.py:7-29)."""
 
+    compute_dtype: jnp.dtype | None = None
+
     @nn.compact
     def __call__(self, x: jax.Array):
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         fmap = []
         specs = [
             dict(features=16, kernel_size=15, stride=1, padding=7, groups=1),
@@ -102,6 +120,9 @@ class ScaleDiscriminator(nn.Module):
             fmap.append(h)
         h = Conv1d(1, 3, padding=1, weight_norm=True, name="conv_post")(h)
         fmap.append(h)
+        if self.compute_dtype is not None:
+            fmap = [f.astype(jnp.float32) for f in fmap]
+            h = h.astype(jnp.float32)
         return fmap, h.reshape(h.shape[0], -1)
 
 
@@ -161,18 +182,23 @@ class Discriminator(nn.Module):
     mpd_kernel_size: int = 5
     mpd_stride: int = 3
     lrelu_slope: float = 0.2
+    # bf16 runs the conv stacks (not the STFT front-ends) on the MXU's native
+    # dtype; params/grads/losses stay f32. Flag-gated mixed precision — the
+    # reference trains f32 (no AMP in vits_extend/train.py).
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
         out = []
         for i, res in enumerate(self.mrd_resolutions):
-            out.append(DiscriminatorR(tuple(res), self.lrelu_slope, name=f"mrd_{i}")(x))
+            out.append(DiscriminatorR(tuple(res), self.lrelu_slope,
+                                      self.compute_dtype, name=f"mrd_{i}")(x))
         for i, p in enumerate(self.mpd_periods):
             out.append(
                 DiscriminatorP(
                     p, self.mpd_kernel_size, self.mpd_stride, self.lrelu_slope,
-                    name=f"mpd_{i}",
+                    self.compute_dtype, name=f"mpd_{i}",
                 )(x)
             )
-        out.append(ScaleDiscriminator(name="msd")(x))
+        out.append(ScaleDiscriminator(self.compute_dtype, name="msd")(x))
         return out

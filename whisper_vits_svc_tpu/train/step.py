@@ -77,6 +77,7 @@ def build_models(hp) -> tuple[SynthesizerTrn, Discriminator]:
         mpd_kernel_size=hp.mpd.kernel_size,
         mpd_stride=hp.mpd.stride,
         lrelu_slope=hp.mpd.lReLU_slope,
+        compute_dtype=jnp.bfloat16 if hp.train.get("bf16_discriminator") else None,
     )
     return g, d
 
