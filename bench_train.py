@@ -31,10 +31,14 @@ def main():
     # -> 83.3 at batch 8/16/32 (the reference's batch-8 default was a 6 GB
     # GPU VRAM constraint, reference README.md:233).
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16-discriminator", action="store_true",
+                    help="measure with the bf16 MRD/MPD/MSD conv stacks")
     args, _ = ap.parse_known_args()
 
     hp = load_config("configs/base.yaml")
     hp["data"]["training_files"] = "unused"
+    if args.bf16_discriminator:
+        hp["train"]["bf16_discriminator"] = True
     batch = args.batch
     t_frames = 300  # 3 s utterances (bucket midpoint)
     hop = hp.data.hop_length
@@ -90,10 +94,11 @@ def main():
     print(json.dumps({
         "metric": "train_utterances_per_second",
         "value": round(utt_s, 2),
-        "unit": "utt/s/chip (batch 8, 3s utts)",
+        "unit": f"utt/s/chip (batch {batch}, 3s utts)",
         "audio_seconds_per_second": round(audio_s, 2),
         "device_ms_per_step": round(ms_per_step, 2),
         "method": method,
+        "bf16_discriminator": bool(args.bf16_discriminator),
         "loss_g": float(m["loss_g"]),
     }))
 

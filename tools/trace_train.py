@@ -52,13 +52,22 @@ def breakdown(trace, step_prefix="jit_train_step"):
 
 
 def main():
+    import argparse
+
     import jax
 
     from whisper_vits_svc_tpu.train.step import init_train_states, make_train_step
     from whisper_vits_svc_tpu.utils.config import load_config
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16-discriminator", action="store_true")
+    args, _ = ap.parse_known_args()
+
     hp = load_config("configs/base.yaml")
-    batch, t_frames = 8, 300
+    if args.bf16_discriminator:
+        hp["train"]["bf16_discriminator"] = True
+    batch, t_frames = args.batch, 300
     hop = hp.data.hop_length
 
     g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
@@ -84,7 +93,7 @@ def main():
 
     trace_dir = tempfile.mkdtemp(prefix="train_trace_")
     jax.profiler.start_trace(trace_dir)
-    for i in range(3):
+    for i in range(8):
         g_state, d_state, m = step(g_state, d_state, make_batch(i + 1),
                                    jax.random.PRNGKey(i))
     jax.block_until_ready(m["loss_g"])
@@ -93,7 +102,7 @@ def main():
     step_ms, n, ops = breakdown(load_trace(trace_dir))
     total_op_ms = sum(v for _, v in ops) / 1e3
     if n == 0:
-        n, step_ms = 3, total_op_ms / 3  # fall back to summed op spans
+        n, step_ms = 8, total_op_ms / 8  # fall back to summed op spans
     print(f"\ndevice step time: {step_ms:.2f} ms over {n} steps "
           f"(utt/s = {batch / (step_ms / 1e3):.1f}, "
           f"audio-s/s = {batch * t_frames * hop / hp.data.sampling_rate / (step_ms / 1e3):.1f})")

@@ -43,7 +43,11 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
     num_replicas = jax.process_count()
 
     g_state, d_state, g_model, d_model = init_train_states(hp, rng)
-    train_step = jax.jit(make_train_step(hp, g_model, d_model))
+    # donate the state pytrees: XLA updates params/opt-state in place instead
+    # of allocating a second copy per step (the loop never reuses the old
+    # state — set_learning_rate operates on the returned one)
+    train_step = jax.jit(make_train_step(hp, g_model, d_model),
+                         donate_argnums=(0, 1))
 
     init_epoch, step = 1, 0
     pretrain = hp.train.get("pretrain", "")

@@ -187,9 +187,24 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
         )
         stft_loss = (sc_loss + mag_loss) * c_stft
 
+        b = fake.shape[0]
+
+        def split(outs):
+            """Un-concatenate a fake||real batched discriminator output."""
+            f = [([m[:b] for m in fmap], s[:b]) for fmap, s in outs]
+            r = [([m[b:] for m in fmap], s[b:]) for fmap, s in outs]
+            return f, r
+
+        # fake and real share one discriminator apply per parameter set
+        # (batch-concatenated): 2 applies instead of 4 — the sub-discriminator
+        # convs are batch-independent so results are identical, and the
+        # doubled batch feeds the MXU better at the segment's small spatial
+        # sizes (MRD was the costliest step component, docs/PERFORMANCE.md)
         d_frozen = jax.lax.stop_gradient(d_params)
-        disc_fake = d_model.apply({"params": d_frozen}, fake)
-        disc_real = d_model.apply({"params": d_frozen}, audio_real)
+        disc_fake, disc_real = split(
+            d_model.apply({"params": d_frozen},
+                          jnp.concatenate([fake, audio_real], axis=0))
+        )
         score_loss = losses.generator_adversarial_loss(disc_fake)
         feat_loss = losses.feature_matching_loss(disc_fake, disc_real)
 
@@ -205,10 +220,12 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
             + loss_kl_f + loss_kl_r * 0.5 + spk_loss * 2.0
         )
 
-        disc_fake_d = d_model.apply(
-            {"params": d_params}, jax.lax.stop_gradient(fake)
+        disc_fake_d, disc_real_d = split(
+            d_model.apply(
+                {"params": d_params},
+                jnp.concatenate([jax.lax.stop_gradient(fake), audio_real], axis=0),
+            )
         )
-        disc_real_d = d_model.apply({"params": d_params}, audio_real)
         loss_d = losses.discriminator_adversarial_loss(disc_fake_d, disc_real_d)
 
         metrics = dict(
