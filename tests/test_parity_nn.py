@@ -18,6 +18,7 @@ import torch
 sys.path.insert(0, "/root/reference")
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from whisper_vits_svc_tpu.models import convert  # noqa: E402
 
@@ -255,6 +256,39 @@ def test_generator_inference_parity():
 
 
 # ---------------------------------------------------------------- discriminators
+
+
+def test_mrd_fold_freq_exactness():
+    """Freq-folded DiscriminatorR == unfolded path: same params, same fmaps,
+    same scores, same parameter gradients (up to float summation order)."""
+    from whisper_vits_svc_tpu.models.discriminator import DiscriminatorR as R
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 2000, 1)) * 0.3, jnp.float32)
+    for res in [(512, 50, 240), (1024, 120, 600)]:
+        d_ref = R(res, fold_freq=False)
+        d_fold = R(res, fold_freq=True)
+        p = d_ref.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(
+            d_fold.init(jax.random.PRNGKey(0), x)["params"]
+        ) == jax.tree_util.tree_structure(p)
+        f_ref, s_ref = d_ref.apply({"params": p}, x)
+        f_fold, s_fold = d_fold.apply({"params": p}, x)
+        np.testing.assert_allclose(s_fold, s_ref, atol=2e-5, rtol=1e-5)
+        for a, b in zip(f_fold, f_ref):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+        def loss(params, mod):
+            fmap, score = mod.apply({"params": params}, x)
+            return jnp.mean(jnp.square(score - 1.0)) + sum(
+                jnp.mean(jnp.abs(f)) for f in fmap)
+
+        g_ref = jax.grad(loss)(p, d_ref)
+        g_fold = jax.grad(loss)(p, d_fold)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5, rtol=2e-4),
+            g_fold, g_ref)
 
 
 @pytest.mark.slow

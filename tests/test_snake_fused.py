@@ -142,6 +142,31 @@ def test_pallas_snake_matches_cm():
         np.testing.assert_allclose(out, ref, atol=5e-6, rtol=1e-5)
 
 
+def test_pallas_snake_gradient_parity():
+    """custom_vjp of the Pallas kernel (rematerialized jnp backward) matches
+    jax.grad of the jnp CM form for x, alpha and beta."""
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm
+    from whisper_vits_svc_tpu.ops.pallas_snake import snake_alias_cm_pallas_diff
+
+    rng = np.random.default_rng(7)
+    B, C, T = 2, 10, 700
+    x = jnp.asarray(rng.standard_normal((B, C, T)) * 1.5, jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
+
+    def loss_ref(x, a, b):
+        return jnp.sum(w * snake_alias_fused_cm(x, a, b, exact_edges=True))
+
+    def loss_pal(x, a, b):
+        return jnp.sum(w * snake_alias_cm_pallas_diff(x, a, b))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, alpha, beta)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(x, alpha, beta)
+    for r, p in zip(g_ref, g_pal):
+        np.testing.assert_allclose(p, r, atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_generator_pallas_snake_matches_jnp(monkeypatch):
     """Full generator with pallas_snake=True (interpret mode on CPU) matches

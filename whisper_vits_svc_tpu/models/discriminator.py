@@ -58,12 +58,40 @@ class DiscriminatorP(nn.Module):
         return fmap, x.reshape(b, -1)
 
 
+def _fold_freq(h: jax.Array, r: int = 4) -> jax.Array:
+    """[B, F, T, C] -> [B, ceil(F/r), T, r*C] (freq blocks outer, C inner)."""
+    b, f, t, c = h.shape
+    fp = -(-f // r) * r
+    if fp != f:
+        h = jnp.pad(h, ((0, 0), (0, fp - f), (0, 0), (0, 0)))
+    return h.reshape(b, fp // r, r, t, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, fp // r, t, r * c)
+
+
+def _unfold_freq(h: jax.Array, f: int, r: int = 4) -> jax.Array:
+    """Inverse of _fold_freq: [B, F', T, r*C] -> [B, f, T, C]."""
+    b, fq, t, rc = h.shape
+    c = rc // r
+    h = h.reshape(b, fq, t, r, c).transpose(0, 1, 3, 2, 4).reshape(b, fq * r, t, c)
+    return h[:, :f]
+
+
 class DiscriminatorR(nn.Module):
-    """Resolution discriminator on window-less STFT magnitude (mrd.py:6-46)."""
+    """Resolution discriminator on window-less STFT magnitude (mrd.py:6-46).
+
+    fold_freq=True runs the conv stack in the 4-way freq-to-channel folded
+    layout (nn.conv._fold_freq_kernel): every conv becomes 128-in/128-out
+    channels, which tiles the MXU fully instead of using 32 of 128 lanes —
+    the MRD was the costliest component of the train step
+    (docs/PERFORMANCE.md). Returned fmaps/scores are unfolded back, so
+    outputs (and therefore every loss) are exactly the unfolded path's up to
+    float summation order; parameters are identical either way.
+    """
 
     resolution: tuple[int, int, int]   # (n_fft, hop, win_length)
     lrelu_slope: float = 0.2
     compute_dtype: jnp.dtype | None = None
+    fold_freq: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -83,12 +111,33 @@ class DiscriminatorR(nn.Module):
             dict(kernel_size=(3, 9), stride=(1, 2), padding=(1, 4)),
             dict(kernel_size=(3, 3), stride=(1, 1), padding=(1, 1)),
         ]
-        for i, s in enumerate(specs):
-            h = Conv2d(32, weight_norm=True, name=f"convs_{i}", **s)(h)
-            h = jax.nn.leaky_relu(h, self.lrelu_slope)
+        if self.fold_freq:
+            bins = h.shape[1]
+            # rows 4*f'+j >= bins are fold padding: they accumulate bias +
+            # activation garbage, and the NEXT conv's super-tap would read
+            # them where the unfolded op reads its zero pad — mask to 0 after
+            # every layer (fuses into the conv epilogue)
+            fq = -(-bins // 4)
+            mvec = (jnp.arange(fq * 4) < bins).reshape(fq, 4)
+            h = _fold_freq(h)
+            for i, s in enumerate(specs):
+                h = Conv2d(32, weight_norm=True, freq_folded=True,
+                           name=f"convs_{i}", **s)(h)
+                h = jax.nn.leaky_relu(h, self.lrelu_slope)
+                h = h * jnp.repeat(mvec, 32, axis=1)[None, :, None, :].astype(h.dtype)
+                fmap.append(_unfold_freq(h, bins))
+            h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True,
+                       freq_folded=True, name="conv_post")(h)
+            h = _unfold_freq(h, bins)
             fmap.append(h)
-        h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True, name="conv_post")(h)
-        fmap.append(h)
+        else:
+            for i, s in enumerate(specs):
+                h = Conv2d(32, weight_norm=True, name=f"convs_{i}", **s)(h)
+                h = jax.nn.leaky_relu(h, self.lrelu_slope)
+                fmap.append(h)
+            h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True,
+                       name="conv_post")(h)
+            fmap.append(h)
         if self.compute_dtype is not None:
             fmap = [f.astype(jnp.float32) for f in fmap]
             h = h.astype(jnp.float32)
@@ -186,13 +235,16 @@ class Discriminator(nn.Module):
     # dtype; params/grads/losses stay f32. Flag-gated mixed precision — the
     # reference trains f32 (no AMP in vits_extend/train.py).
     compute_dtype: jnp.dtype | None = None
+    mrd_fold_freq: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array):
         out = []
         for i, res in enumerate(self.mrd_resolutions):
             out.append(DiscriminatorR(tuple(res), self.lrelu_slope,
-                                      self.compute_dtype, name=f"mrd_{i}")(x))
+                                      self.compute_dtype,
+                                      fold_freq=self.mrd_fold_freq,
+                                      name=f"mrd_{i}")(x))
         for i, p in enumerate(self.mpd_periods):
             out.append(
                 DiscriminatorP(

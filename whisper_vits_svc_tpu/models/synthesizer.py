@@ -165,6 +165,10 @@ class SynthesizerTrn(nn.Module):
     enc_q_layers: int = 16
     flow_wn_layers: int = 4
     n_flows: int = 4
+    # Pallas SnakeAlias in the decoder (differentiable via
+    # snake_alias_cm_pallas_diff); the per-shape gate still decides which
+    # stages actually take the kernel.
+    pallas_snake: bool = False
 
     def setup(self):
         self.emb_g = Dense(self.gin_channels, name="emb_g")
@@ -192,6 +196,7 @@ class SynthesizerTrn(nn.Module):
             resblock_dilation_sizes=self.resblock_dilation_sizes,
             spk_dim=self.spk_dim,
             sampling_rate=self.sampling_rate,
+            pallas_snake=self.pallas_snake,
             name="dec",
         )
 

@@ -280,8 +280,40 @@ def _conv_transpose_polyphase(x: jax.Array, kernel: jax.Array, stride: int,
     return y.reshape(b, T, s, O).reshape(b, T * s, O)
 
 
+def _fold_freq_kernel(kernel: jax.Array, r: int = 4) -> jax.Array:
+    """Fold a (3, kw, I, O) stride-1/pad-1 H-axis conv kernel into the
+    r-way H-to-channel space: (3, kw, r*I, r*O).
+
+    With data folded as [B, H/r, W, r*C] (H-blocks outer, channels inner),
+    output block j at super-position h' is original output H-index r*h'+j,
+    which reads inputs r*h'+j-1 .. r*h'+j+1 — i.e. super-positions h'-1..h'+1
+    (kernel 3, padding 1 in folded space). The mapping lands input tap df of
+    output block j at folded input index m = r - 1 + j + df (m = sf*r + j_in,
+    sf the super-tap, j_in the input block) — a plain pad along the tap axis.
+    Zero entries elsewhere: ~(r-1)/r of the folded kernel is structurally
+    zero, but every MXU tile is now 128 channels wide instead of I/O wide —
+    a large net win for the MRD's 32-channel convs (docs/PERFORMANCE.md).
+    Autodiff through the pads/reshapes routes dW back to the true kernel
+    exactly (pad transpose drops the zero positions)."""
+    kh, kw, i, o = kernel.shape
+    assert kh == 3, kh
+    blocks = []
+    for j in range(r):
+        w = jnp.pad(kernel, ((r - 1 + j, 2 * r - 2 - j), (0, 0), (0, 0), (0, 0)))
+        w = w.reshape(3, r, kw, i, o).transpose(0, 2, 1, 3, 4)
+        blocks.append(w.reshape(3, kw, r * i, o))
+    return jnp.concatenate(blocks, axis=3)
+
+
 class Conv2d(nn.Module):
-    """torch.nn.Conv2d semantics on [B, H, W, C] input (used by MPD/MRD)."""
+    """torch.nn.Conv2d semantics on [B, H, W, C] input (used by MPD/MRD).
+
+    freq_folded=True consumes/produces the r=4 H-to-channel folded layout
+    (see _fold_freq_kernel): input [B, H/4, W, 4*C_in] -> [B, H/4, W', 4*O].
+    Only valid for kernel_size[0]==3, stride[0]==1, padding[0]==1; the
+    parameter set (v/g/bias or kernel/bias) is identical to the unfolded
+    module, so checkpoints are layout-independent.
+    """
 
     features: int
     kernel_size: tuple[int, int]
@@ -289,10 +321,11 @@ class Conv2d(nn.Module):
     padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
     weight_norm: bool = False
+    freq_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 4 if self.freq_folded else x.shape[-1]
         kh, kw = self.kernel_size
         kshape = (kh, kw, in_ch, self.features)
         fan_in = in_ch * kh * kw
@@ -309,6 +342,10 @@ class Conv2d(nn.Module):
         else:
             kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
         kernel = kernel.astype(x.dtype)
+        if self.freq_folded:
+            assert kh == 3 and self.stride[0] == 1 and self.padding[0] == 1, (
+                "freq_folded requires a stride-1/pad-1 kernel-3 H axis")
+            kernel = _fold_freq_kernel(kernel)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -318,7 +355,8 @@ class Conv2d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias.astype(y.dtype)
+            bias = bias.astype(y.dtype)
+            y = y + (jnp.tile(bias, 4) if self.freq_folded else bias)
         return y
 
 

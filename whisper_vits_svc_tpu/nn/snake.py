@@ -384,8 +384,10 @@ class SnakeAlias(nn.Module):
     fused: bool = True
     exact_edges: bool = True
     layout: str = "NTC"
-    # Single-VMEM-pass Pallas kernel for the NCT path (ops/pallas_snake.py);
-    # forward-only (no custom_vjp), so inference graphs only.
+    # Single-VMEM-pass Pallas kernel for the NCT path (ops/pallas_snake.py).
+    # Differentiable: forward runs the kernel, backward rematerializes through
+    # the jnp channel-major form (snake_alias_cm_pallas_diff), so training
+    # graphs may enable it too.
     use_pallas: bool = False
 
     @nn.compact
@@ -397,7 +399,7 @@ class SnakeAlias(nn.Module):
                 from ..ops import pallas_snake
 
                 if pallas_snake.use_pallas_for(x.shape[1], x.shape[2]):
-                    return pallas_snake.snake_alias_cm_pallas(
+                    return pallas_snake.snake_alias_cm_pallas_diff(
                         x, alpha, beta, self.up_kernel_size,
                         self.down_kernel_size)
             return snake_alias_fused_cm(x, alpha, beta, self.up_kernel_size,

@@ -278,6 +278,44 @@ def _kernel_nocopy_mxu(main_ref, hl_ref, hr_ref, bup_ref, bdn_ref, a_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def snake_alias_cm_pallas_diff(x, alpha, beta, k_up: int = 12,
+                               k_down: int = 12):
+    """Differentiable wrapper: Pallas kernel forward, rematerialized jnp
+    channel-major backward.
+
+    The kernel itself has no VJP rule; the backward here runs ``jax.vjp`` of
+    ``nn.snake.snake_alias_fused_cm`` (numerically identical to the kernel,
+    exactness-tested) from the saved (x, alpha, beta). That makes the rule a
+    rematerialization: only x is held between passes instead of the 4+
+    T-sized phase intermediates XLA's default AD would save per activation —
+    a net HBM win for the 91 snake applications per generator step — and the
+    forward pass keeps the kernel's single-VMEM-pass speed. Gradients equal
+    the jnp path's to float tolerance (test_snake_fused.py gradient parity).
+    """
+    return snake_alias_cm_pallas(x, alpha, beta, k_up, k_down)
+
+
+def _diff_fwd(x, alpha, beta, k_up, k_down):
+    return snake_alias_cm_pallas_diff(x, alpha, beta, k_up, k_down), (
+        x, alpha, beta)
+
+
+def _diff_bwd(k_up, k_down, res, dy):
+    from ..nn.snake import snake_alias_fused_cm
+
+    x, alpha, beta = res
+    _, vjp = jax.vjp(
+        lambda x_, a_, b_: snake_alias_fused_cm(
+            x_, a_, b_, k_up, k_down, exact_edges=True),
+        x, alpha, beta,
+    )
+    return vjp(dy)
+
+
+snake_alias_cm_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
 def snake_alias_cm_pallas(
     x: jax.Array,
     alpha: jax.Array,

@@ -70,6 +70,7 @@ def build_models(hp) -> tuple[SynthesizerTrn, Discriminator]:
         enc_q_layers=hp.vits.get("enc_q_layers", 16),
         flow_wn_layers=hp.vits.get("flow_wn_layers", 4),
         n_flows=hp.vits.get("n_flows", 4),
+        pallas_snake=bool(hp.train.get("pallas_snake")),
     )
     d = Discriminator(
         mrd_resolutions=tuple(tuple(r) for r in hp.mrd.resolutions),
