@@ -264,7 +264,7 @@ def test_mrd_fold_freq_exactness():
     from whisper_vits_svc_tpu.models.discriminator import DiscriminatorR as R
 
     rng = np.random.default_rng(17)
-    x = jnp.asarray(rng.standard_normal((2, 2000, 1)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 1200, 1)) * 0.3, jnp.float32)
     for res in [(512, 50, 240), (1024, 120, 600)]:
         d_ref = R(res, fold_freq=False)
         d_fold = R(res, fold_freq=True)
@@ -278,6 +278,9 @@ def test_mrd_fold_freq_exactness():
         for a, b in zip(f_fold, f_ref):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+        if res[0] != 512:
+            continue  # gradient parity once is enough (keeps the tier fast)
 
         def loss(params, mod):
             fmap, score = mod.apply({"params": params}, x)
