@@ -115,3 +115,34 @@ def test_stft_complex_parity_vs_torch(rng):
                    return_complex=True)
     np.testing.assert_allclose(np.asarray(re)[0].T, s[0].real.numpy(), rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(im)[0].T, s[0].imag.numpy(), rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("fl,hop,L", [
+    (1024, 120, 8000), (512, 50, 8000), (4096, 480, 9000),
+    (1024, 320, 8640), (400, 160, 5007),
+])
+def test_frame_signal_custom_vjp_matches_native(fl, hop, L):
+    """The overlap-add adjoint (custom VJP) == XLA's native patch-extraction
+    VJP, including partial trailing frames and leftover samples."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(fl + hop)
+    x = jnp.asarray(rng.standard_normal((2, L)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((2, 1 + (L - fl) // hop, fl)), jnp.float32)
+
+    def loss_custom(x):
+        return jnp.sum(w * jstft.frame_signal(x, fl, hop))
+
+    def loss_native(x):
+        lead = x.shape[:-1]
+        p = jax.lax.conv_general_dilated_patches(
+            x.reshape(-1, x.shape[-1])[:, :, None], filter_shape=(fl,),
+            window_strides=(hop,), padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        return jnp.sum(w * p.reshape(lead + p.shape[1:]))
+
+    g1 = jax.grad(loss_custom)(x)
+    g2 = jax.grad(loss_native)(x)
+    np.testing.assert_allclose(g1, g2, atol=1e-5, rtol=1e-5)

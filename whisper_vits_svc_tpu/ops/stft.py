@@ -27,6 +27,7 @@ layout); the reference's [B, bins, frames] callers transpose at the edge.
 
 from __future__ import annotations
 
+import functools
 from functools import lru_cache
 
 import jax
@@ -68,11 +69,20 @@ def _windowed_dft(n_fft: int, win_length: int, window: str) -> np.ndarray:
     return (w_full[:, None] * basis).astype(np.float32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """[..., L] -> [..., num_frames, frame_length] with num_frames = 1+(L-fl)//hop.
 
     Uses XLA's sliding-window patch extraction (lowers to an efficient TPU
     conv-style access pattern) rather than a multi-million-index gather.
+
+    Has a custom VJP: XLA's native adjoint of the patch extraction is a
+    1-channel transposed conv whose [B, L, 1] output gets a degenerate
+    T(1,128) layout — 127/128 of each vector lane wasted; it was ~24 ms of
+    the 144 ms train step across the 4 MRD front-ends and the loss STFTs
+    (docs/PERFORMANCE.md). The custom rule does the overlap-add adjoint as
+    ceil(frame_length/hop) shifted segment adds on a [B, frames, hop] view —
+    pure elementwise traffic over tensors the size of the input signal.
     """
     lead = y.shape[:-1]
     y2 = y.reshape((-1, y.shape[-1]))
@@ -81,6 +91,34 @@ def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
         padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
     )
     return patches.reshape(lead + patches.shape[1:])
+
+
+def _frame_signal_fwd(y, frame_length, hop):
+    return frame_signal(y, frame_length, hop), (y.shape,)
+
+
+def _frame_signal_bwd(frame_length, hop, res, df):
+    (yshape,) = res
+    lead, l_sig = yshape[:-1], yshape[-1]
+    nf = df.shape[-2]
+    s = -(-frame_length // hop)          # segments per frame
+    wp = s * hop
+    df = df.reshape((-1, nf, frame_length))
+    if wp != frame_length:
+        df = jnp.pad(df, ((0, 0), (0, 0), (0, wp - frame_length)))
+    dseg = df.reshape(df.shape[0], nf, s, hop)
+    # x position (t*hop + s*hop + r) -> output segment t+s, offset r
+    acc = jnp.zeros((df.shape[0], nf + s - 1, hop), df.dtype)
+    for j in range(s):
+        acc = acc.at[:, j : j + nf].add(dseg[:, :, j, :])
+    dy = acc.reshape(acc.shape[0], -1)
+    if dy.shape[1] < l_sig:   # trailing samples not covered by any frame
+        dy = jnp.pad(dy, ((0, 0), (0, l_sig - dy.shape[1])))
+    dy = dy[:, :l_sig]
+    return (dy.reshape(yshape),)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
 
 
 def stft_magnitude(
