@@ -51,6 +51,40 @@ def breakdown(trace, step_prefix="jit_train_step"):
     return step_ms, len(steps), sorted(ops.items(), key=lambda kv: -kv[1])
 
 
+_MODULES = ["mrd_0", "mrd_1", "mrd_2", "mrd_3", "mpd_", "msd", "dec/",
+            "enc_q", "enc_p", "flow/", "speaker_classifier"]
+
+
+def module_breakdown(trace, n_steps):
+    """(module, fwd/bwd) ms/step attribution from the XLA-op lane's tf_op
+    paths (the jit scope path JAX attaches to each HLO); ops whose tf_op is
+    lost in backward rewrites land in 'other/bwd'."""
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    mods = defaultdict(float)
+    cats = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        a = e.get("args", {})
+        t = a.get("tf_op")
+        if t is None:
+            continue  # not an XLA-op lane event
+        cats[a.get("hlo_category", "?")] += e["dur"]
+        side = "bwd" if "transpose(jvp" in t else "fwd+bwd"
+        name = next((m for m in _MODULES if m in t), "other")
+        mods[f"{name:20s} {side}"] += e["dur"]
+    n = max(n_steps, 1)
+    return (
+        sorted(((k, v / 1e3 / n) for k, v in mods.items()), key=lambda kv: -kv[1]),
+        sorted(((k, v / 1e3 / n) for k, v in cats.items()), key=lambda kv: -kv[1]),
+    )
+
+
 def main():
     import argparse
 
@@ -99,7 +133,8 @@ def main():
     jax.block_until_ready(m["loss_g"])
     jax.profiler.stop_trace()
 
-    step_ms, n, ops = breakdown(load_trace(trace_dir))
+    trace = load_trace(trace_dir)
+    step_ms, n, ops = breakdown(trace)
     total_op_ms = sum(v for _, v in ops) / 1e3
     if n == 0:
         n, step_ms = 8, total_op_ms / 8  # fall back to summed op spans
@@ -111,6 +146,14 @@ def main():
     for name, us in ops[:25]:
         ms = us / 1e3 / max(n, 1)
         print(f"{name[:60]:60s} {ms:9.3f} {100 * us / 1e3 / max(total_op_ms, 1e-9):6.1f}")
+
+    mods, cats = module_breakdown(trace, n)
+    print(f"\n{'module (tf_op path)':30s} {'ms/step':>9s}")
+    for name, ms in mods:
+        print(f"{name:30s} {ms:9.2f}")
+    print(f"\n{'hlo category':30s} {'ms/step':>9s}")
+    for name, ms in cats[:12]:
+        print(f"{name:30s} {ms:9.2f}")
 
 
 if __name__ == "__main__":
