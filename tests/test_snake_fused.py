@@ -167,6 +167,30 @@ def test_pallas_snake_gradient_parity():
         np.testing.assert_allclose(p, r, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("B,C,T", [(1, 10, 700), (2, 16, 1024), (1, 3, 130),
+                                   (2, 20, 4000)])
+def test_pallas_snake_bwd_kernel_parity(B, C, T):
+    """The analytic backward kernel (interpret mode off-TPU) == jax.grad of
+    the jnp CM form for dx, dalpha, dbeta — including the extension clamps
+    and edge-replicate pad adjoints, multi-tile T, and padded channels."""
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm
+    from whisper_vits_svc_tpu.ops.pallas_snake import snake_alias_cm_pallas_bwd
+
+    rng = np.random.default_rng(C * T)
+    x = jnp.asarray(rng.standard_normal((B, C, T)) * 1.5, jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
+
+    def loss(x, a, b):
+        return jnp.sum(dy * snake_alias_fused_cm(x, a, b, exact_edges=True))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, alpha, beta)
+    g_ker = snake_alias_cm_pallas_bwd(x, alpha, beta, dy)
+    for r, p in zip(g_ref, g_ker):
+        np.testing.assert_allclose(p, r, atol=3e-4, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_generator_pallas_snake_matches_jnp(monkeypatch):
     """Full generator with pallas_snake=True (interpret mode on CPU) matches

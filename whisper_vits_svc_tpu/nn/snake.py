@@ -398,7 +398,8 @@ class SnakeAlias(nn.Module):
             if self.use_pallas and self.exact_edges:
                 from ..ops import pallas_snake
 
-                if pallas_snake.use_pallas_for(x.shape[1], x.shape[2]):
+                if pallas_snake.use_pallas_for(x.shape[1], x.shape[2],
+                                               x.shape[0]):
                     return pallas_snake.snake_alias_cm_pallas_diff(
                         x, alpha, beta, self.up_kernel_size,
                         self.down_kernel_size)

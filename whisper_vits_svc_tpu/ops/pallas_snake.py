@@ -64,13 +64,17 @@ _MIN_T = 50_000
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def use_pallas_for(c: int, t: int) -> bool:
-    """True where the kernel beats the jnp channel-major form (see above)."""
-    if c <= _MAX_C and t >= _MIN_T:
+def use_pallas_for(c: int, t: int, b: int = 1) -> bool:
+    """True where the kernel beats the jnp channel-major form (see above).
+
+    The thresholds gate on total time-samples b*t: grid programs run
+    sequentially on the single TensorCore, so a [8, C, 8000] training batch
+    is the same work profile as [1, C, 64000] inference."""
+    if c <= _MAX_C and b * t >= _MIN_T:
         return True
     # mid-channel stages (e.g. the generator's C=80 stage): pallas wins, but
     # C=40 / short-T shapes measured neutral-to-worse — leave those to XLA
-    return 40 < c <= 128 and t >= 10_000
+    return 40 < c <= 128 and b * t >= 10_000
 
 
 def _round_up(x: int, m: int) -> int:
@@ -278,20 +282,185 @@ def _kernel_nocopy_mxu(main_ref, hl_ref, hr_ref, bup_ref, bdn_ref, a_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+# ------------------------------------------------------------ backward kernel
+#
+# Analytic VJP of the fused chain in one VMEM pass. With y = D(s(U(x)))
+# (U/D the polyphase up/down FIR pairs, s the snake nonlinearity):
+#   dE/dO   = correlation of dy with the flipped down-phase taps
+#   ds_e/o  = dE/dO masked to [0, T) + the extension clamps scattered onto
+#             s_e[0] / s_o[T-1] (zero-padded dy makes out-of-range taps 0)
+#   du_e/o  = ds * s'(u),  s'(u) = 1 + ib*a*sin(2au)   (u recomputed from x)
+#   dx      = correlation of du with the flipped up-phase taps + the
+#             edge-replicate pad adjoint onto x[0] / x[T-1]
+#   dalpha  = a  * sum ds * ib * u * sin(2au)           (a = e^alpha)
+#   dbeta   = -e^beta * ib^2 * sum ds * sin^2(au)       (ib = 1/(e^beta+eps))
+# The per-channel dalpha/dbeta reductions accumulate across the grid into a
+# revisited [C, 1] output block (grid is (channel, batch, time) so revisits
+# are consecutive).
+
+
+def _kernel_padded_bwd(mainx_ref, halox_ref, maindy_ref, halody_ref, a_ref,
+                       ib_ref, eb_ref, dx_ref, da_ref, db_ref, *, taps,
+                       tt: int, t_real: int):
+    """Blocks cover padded[t0 : t0+tt+16) (x edge-padded, dy zero-padded by
+    _PAD=8 on the left); outputs dx for [t0, t0+tt) plus accumulated
+    dalpha/dbeta."""
+    ae, ao, de, do_ = taps
+    x = jnp.concatenate(
+        [mainx_ref[0], halox_ref[0][:, : 2 * _PAD]], axis=-1
+    ).astype(jnp.float32)                      # x[t0-8 .. t0+tt+8)
+    dy = jnp.concatenate(
+        [maindy_ref[0], halody_ref[0][:, : 2 * _PAD]], axis=-1
+    ).astype(jnp.float32)                      # dy[t0-8 .. t0+tt+8), 0 outside [0,T)
+    a = a_ref[:].astype(jnp.float32)
+    ib = ib_ref[:].astype(jnp.float32)
+    eb = eb_ref[:].astype(jnp.float32)
+    t0 = pl.program_id(2) * tt
+
+    ext = tt + 10                               # positions p in [t0-5, t0+tt+5)
+    # pre-activations u_e[p] = sum_m ae[m] x[p-3+m]   (x local idx r+m)
+    u_e = ae[0] * x[:, 0:ext]
+    u_o = ao[0] * x[:, 1 : 1 + ext]
+    for m in range(1, 6):
+        u_e = u_e + ae[m] * x[:, m : m + ext]
+        u_o = u_o + ao[m] * x[:, m + 1 : m + 1 + ext]
+    # down-FIR adjoints dE[p] = sum_m de[m] dy[p+2-m], dO[p] = sum do dy[p+3-m]
+    dE = de[0] * dy[:, 5 : 5 + ext]
+    dO = do_[0] * dy[:, 6 : 6 + ext]
+    for m in range(1, 6):
+        dE = dE + de[m] * dy[:, 5 - m : 5 - m + ext]
+        dO = dO + do_[m] * dy[:, 6 - m : 6 - m + ext]
+
+    pos = t0 - 5 + jax.lax.broadcasted_iota(jnp.int32, (1, ext), 1)
+    valid = (pos >= 0) & (pos <= t_real - 1)
+    head = jnp.sum(jnp.where(pos < 0, dE + dO, 0.0), axis=1, keepdims=True)
+    tail = jnp.sum(jnp.where(pos > t_real - 1, dE + dO, 0.0), axis=1,
+                   keepdims=True)
+    ds_e = jnp.where(valid, dE, 0.0) + jnp.where(pos == 0, head, 0.0)
+    ds_o = jnp.where(valid, dO, 0.0) + jnp.where(pos == t_real - 1, tail, 0.0)
+
+    sin2e, sin2o = jnp.sin(2.0 * a * u_e), jnp.sin(2.0 * a * u_o)
+    du_e = ds_e * (1.0 + ib * a * sin2e)
+    du_o = ds_o * (1.0 + ib * a * sin2o)
+
+    # per-channel param grads, masked to this block's own positions
+    own = valid & (pos >= t0) & (pos < t0 + tt)
+    da_part = a * ib * jnp.sum(
+        jnp.where(own, ds_e * u_e * sin2e + ds_o * u_o * sin2o, 0.0),
+        axis=1, keepdims=True)
+    se, so = jnp.sin(a * u_e), jnp.sin(a * u_o)
+    db_part = -eb * ib * ib * jnp.sum(
+        jnp.where(own, ds_e * se * se + ds_o * so * so, 0.0),
+        axis=1, keepdims=True)
+
+    # up-FIR adjoint over p' in [t0-3, t0+tt+3):
+    #   dxp[p'] = sum_m ae[m] du_e[p'+3-m] + ao[m] du_o[p'+2-m]
+    ext2 = tt + 6
+    # du_ep: one zero appended (p = t0+tt+5, only read by unused/masked
+    # positions); du_op: one zero prepended (p = t0-6, likewise)
+    du_ep = jnp.pad(du_e, ((0, 0), (0, 1)))
+    du_op = jnp.pad(du_o, ((0, 0), (1, 0)))
+    dxp = ae[0] * du_ep[:, 5 : 5 + ext2] + ao[0] * du_op[:, 5 : 5 + ext2]
+    for m in range(1, 6):
+        dxp = dxp + ae[m] * du_ep[:, 5 - m : 5 - m + ext2]
+        dxp = dxp + ao[m] * du_op[:, 5 - m : 5 - m + ext2]
+
+    pos2 = t0 - 3 + jax.lax.broadcasted_iota(jnp.int32, (1, ext2), 1)
+    head_x = jnp.sum(jnp.where(pos2 < 0, dxp, 0.0), axis=1, keepdims=True)
+    tail_x = jnp.sum(jnp.where(pos2 > t_real - 1, dxp, 0.0), axis=1,
+                     keepdims=True)
+    po = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+    dx = dxp[:, 3 : 3 + tt]
+    dx = jnp.where(po > t_real - 1, 0.0, dx)
+    dx = dx + jnp.where(po == 0, head_x, 0.0)
+    dx = dx + jnp.where(po == t_real - 1, tail_x, 0.0)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    # first visit of this channel block: grid is (channel, batch, time), so
+    # each [C,1] accumulator block starts fresh at (bi=0, ti=0)
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _init():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    da_ref[:] += da_part.astype(da_ref.dtype)
+    db_ref[:] += db_part.astype(db_ref.dtype)
+
+
+def snake_alias_cm_pallas_bwd(
+    x: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    dy: jax.Array,
+    k_up: int = 12,
+    k_down: int = 12,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(dx, dalpha, dbeta) of snake_alias(x) for cotangent dy ([B, C, T])."""
+    taps = _tap_floats(k_up, k_down)
+    b, c, t = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    af = jnp.exp(alpha.astype(jnp.float32)).reshape(-1, 1)
+    ebf = jnp.exp(beta.astype(jnp.float32)).reshape(-1, 1)
+    ibf = 1.0 / (ebf + 1e-9)
+
+    c_tile = min(_round_up(c, 8), 128)
+    tt = _VMEM_BUDGET // (48 * 4 * c_tile)
+    tt = max(_LANE * 4, (tt // _LANE) * _LANE)
+    tt = min(tt, _round_up(t, _LANE))
+    cp = _round_up(c, c_tile)
+    tp = _round_up(t, tt)
+    nt = tp // tt
+    pads = ((0, 0), (0, cp - c), (_PAD, tp + tt - t - _PAD))
+    xpad = jnp.pad(jnp.pad(x, ((0, 0), (0, 0), (_PAD, tp + tt - t - _PAD)),
+                           mode="edge"), ((0, 0), (0, cp - c), (0, 0)))
+    dypad = jnp.pad(dy, pads)
+    if cp != c:
+        af = jnp.pad(af, ((0, cp - c), (0, 0)), constant_values=1.0)
+        ibf = jnp.pad(ibf, ((0, cp - c), (0, 0)), constant_values=1.0)
+        ebf = jnp.pad(ebf, ((0, cp - c), (0, 0)), constant_values=1.0)
+
+    main_spec = pl.BlockSpec((1, c_tile, tt), lambda ci, bi, ti: (bi, ci, ti),
+                             memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (1, c_tile, _LANE),
+        lambda ci, bi, ti: (bi, ci, (ti + 1) * (tt // _LANE)),
+        memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((c_tile, 1), lambda ci, bi, ti: (ci, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_padded_bwd, taps=taps, tt=tt, t_real=t)
+    dxp, da, db = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cp, tp), x.dtype),
+            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+        ),
+        grid=(cp // c_tile, b, nt),
+        in_specs=[main_spec, halo_spec, main_spec, halo_spec,
+                  vec_spec, vec_spec, vec_spec],
+        out_specs=(main_spec, vec_spec, vec_spec),
+        interpret=interpret,
+    )(xpad, xpad, dypad, dypad, af, ibf, ebf)
+    return (dxp[:, :c, :t],
+            da[:c, 0].astype(alpha.dtype), db[:c, 0].astype(beta.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def snake_alias_cm_pallas_diff(x, alpha, beta, k_up: int = 12,
                                k_down: int = 12):
-    """Differentiable wrapper: Pallas kernel forward, rematerialized jnp
-    channel-major backward.
+    """Differentiable wrapper: Pallas kernels both directions.
 
-    The kernel itself has no VJP rule; the backward here runs ``jax.vjp`` of
-    ``nn.snake.snake_alias_fused_cm`` (numerically identical to the kernel,
-    exactness-tested) from the saved (x, alpha, beta). That makes the rule a
-    rematerialization: only x is held between passes instead of the 4+
-    T-sized phase intermediates XLA's default AD would save per activation —
-    a net HBM win for the 91 snake applications per generator step — and the
-    forward pass keeps the kernel's single-VMEM-pass speed. Gradients equal
-    the jnp path's to float tolerance (test_snake_fused.py gradient parity).
+    Forward runs the fused single-VMEM-pass kernel; backward runs the
+    analytic VJP kernel (``snake_alias_cm_pallas_bwd`` — dx, dalpha, dbeta in
+    one pass, recomputing u from the saved x) on TPU, or ``jax.vjp`` of the
+    numerically-identical jnp channel-major form elsewhere. Either way only
+    x is held between passes instead of the 4+ T-sized phase intermediates
+    XLA's default AD would save per activation — a net HBM win for the 91
+    snake applications per generator step. Gradients equal the jnp path's to
+    float tolerance (test_snake_fused.py gradient parity).
     """
     return snake_alias_cm_pallas(x, alpha, beta, k_up, k_down)
 
@@ -302,9 +471,12 @@ def _diff_fwd(x, alpha, beta, k_up, k_down):
 
 
 def _diff_bwd(k_up, k_down, res, dy):
+    x, alpha, beta = res
+    if jax.default_backend() == "tpu":
+        return snake_alias_cm_pallas_bwd(x, alpha, beta, dy, k_up, k_down)
+
     from ..nn.snake import snake_alias_fused_cm
 
-    x, alpha, beta = res
     _, vjp = jax.vjp(
         lambda x_, a_, b_: snake_alias_fused_cm(
             x_, a_, b_, k_up, k_down, exact_edges=True),

@@ -73,24 +73,28 @@ def _windowed_dft(n_fft: int, win_length: int, window: str) -> np.ndarray:
 def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """[..., L] -> [..., num_frames, frame_length] with num_frames = 1+(L-fl)//hop.
 
-    Uses XLA's sliding-window patch extraction (lowers to an efficient TPU
-    conv-style access pattern) rather than a multi-million-index gather.
+    Both directions avoid XLA's 1-channel conv lowerings, which get a
+    degenerate T(1,128) layout (127/128 of every vector lane wasted — the
+    patch-extraction pair was ~28 ms of the 144 ms train step across the 4
+    MRD front-ends and the loss STFTs, docs/PERFORMANCE.md):
 
-    Has a custom VJP: XLA's native adjoint of the patch extraction is a
-    1-channel transposed conv whose [B, L, 1] output gets a degenerate
-    T(1,128) layout — 127/128 of each vector lane wasted; it was ~24 ms of
-    the 144 ms train step across the 4 MRD front-ends and the loss STFTs
-    (docs/PERFORMANCE.md). The custom rule does the overlap-add adjoint as
-    ceil(frame_length/hop) shifted segment adds on a [B, frames, hop] view —
-    pure elementwise traffic over tensors the size of the input signal.
+    - forward: view y as hop-sized segments [B, L/hop, hop]; frame t is the
+      concatenation of segments t..t+S-1 (S = ceil(frame_length/hop)), so
+      framing is S static shifted slices + one concat — a single fused copy.
+    - backward (custom VJP): the overlap-add adjoint as S shifted segment
+      adds on the same [B, frames, hop] view.
     """
-    lead = y.shape[:-1]
-    y2 = y.reshape((-1, y.shape[-1]))
-    patches = jax.lax.conv_general_dilated_patches(
-        y2[:, :, None], filter_shape=(frame_length,), window_strides=(hop,),
-        padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return patches.reshape(lead + patches.shape[1:])
+    lead, l_sig = y.shape[:-1], y.shape[-1]
+    nf = 1 + (l_sig - frame_length) // hop
+    s = -(-frame_length // hop)
+    y2 = y.reshape((-1, l_sig))
+    lp = (nf + s - 1) * hop
+    if lp > l_sig:
+        y2 = jnp.pad(y2, ((0, 0), (0, lp - l_sig)))
+    seg = y2[:, :lp].reshape(y2.shape[0], nf + s - 1, hop)
+    frames = jnp.concatenate(
+        [seg[:, j : j + nf] for j in range(s)], axis=-1)[..., :frame_length]
+    return frames.reshape(lead + (nf, frame_length))
 
 
 def _frame_signal_fwd(y, frame_length, hop):
