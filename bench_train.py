@@ -33,12 +33,16 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--bf16-discriminator", action="store_true",
                     help="measure with the bf16 MRD/MPD/MSD conv stacks")
+    ap.add_argument("--pallas-snake", action="store_true",
+                    help="Pallas SnakeAlias kernels (fwd+bwd) in the decoder")
     args, _ = ap.parse_known_args()
 
     hp = load_config("configs/base.yaml")
     hp["data"]["training_files"] = "unused"
     if args.bf16_discriminator:
         hp["train"]["bf16_discriminator"] = True
+    if args.pallas_snake:
+        hp["train"]["pallas_snake"] = True
     batch = args.batch
     t_frames = 300  # 3 s utterances (bucket midpoint)
     hop = hp.data.hop_length
