@@ -200,7 +200,7 @@ def test_generator_pallas_snake_matches_jnp(monkeypatch):
     from whisper_vits_svc_tpu.ops import pallas_snake
 
     monkeypatch.setattr(pallas_snake, "_MIN_T", 0)
-    monkeypatch.setattr(pallas_snake, "use_pallas_for", lambda c, t: True)
+    monkeypatch.setattr(pallas_snake, "use_pallas_for", lambda c, t, b=1: True)
     from whisper_vits_svc_tpu.models.generator import Generator
 
     rng = np.random.default_rng(3)
@@ -250,7 +250,7 @@ def test_ampblock_fused_iter_matches_module(monkeypatch):
     from whisper_vits_svc_tpu.nn.amp import AMPBlock
     from whisper_vits_svc_tpu.ops import pallas_amp
 
-    monkeypatch.setattr(pallas_amp, "use_fused_iter", lambda c, t: True)
+    monkeypatch.setattr(pallas_amp, "use_fused_iter", lambda c, t, b=1: True)
     rng = np.random.default_rng(5)
     C, T = 12, 1280
     x = jnp.asarray(rng.standard_normal((1, C, T)), jnp.float32)

@@ -74,6 +74,57 @@ def test_dataset_and_batcher(data_dir, rng):
     np.testing.assert_array_equal(b0[0]["ppg_l"], b1[0]["ppg_l"])
 
 
+def test_long_utterance_cropped_into_top_bucket(tmp_path, rng):
+    """At BASE dims (hop 320, segment 8000 -> 25 frames, boundaries
+    150/300/450), an out-of-range >4 s utterance is CROPPED to the 4 s cap
+    (400 frames) and lands in the top (300, 450] bucket — not silently
+    dropped by bucketing. Matches the reference's crop-at-load policy
+    (vits/data_utils.py:30-31,107-119; boundaries dataloader.py:13)."""
+    from whisper_vits_svc_tpu.data.dataset import boundaries_for
+    from whisper_vits_svc_tpu.utils.config import load_config
+
+    hp = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                  "configs", "base.yaml"))
+    hop, sr = hp.data.hop_length, hp.data.sampling_rate
+    assert (hop, hp.data.segment_size) == (320, 8000)
+    frames = 600  # 6 s at 100 fps — beyond the top 450 boundary if uncropped
+    d = tmp_path
+    wav = (rng.standard_normal(frames * hop) * 0.1).astype(np.float32)
+    save_wav(str(d / "a.wav"), wav, sr)
+    np.save(d / "a.spec.npy", np.abs(rng.standard_normal(
+        (frames, hp.data.filter_length // 2 + 1))).astype(np.float32))
+    np.save(d / "a.pit.npy", rng.uniform(100, 400, frames + 1).astype(np.float32))
+    half = frames // 2 + 2
+    np.save(d / "a.vec.npy",
+            rng.standard_normal((half, hp.vits.vec_dim)).astype(np.float32))
+    np.save(d / "a.ppg.npy",
+            rng.standard_normal((half, hp.vits.ppg_dim)).astype(np.float32))
+    np.save(d / "a.spk.npy",
+            rng.standard_normal(hp.vits.spk_dim).astype(np.float32))
+    fl = d / "train.txt"
+    fl.write_text("|".join([
+        str(d / "a.wav"), str(d / "a.spec.npy"), str(d / "a.pit.npy"),
+        str(d / "a.vec.npy"), str(d / "a.ppg.npy"), str(d / "a.spk.npy"),
+    ]))
+
+    ds = SvcDataset(str(fl), hp.data)
+    assert len(ds) == 1, "out-of-range utterance must be kept (cropped)"
+    assert ds.items[0].frames == 400  # 4 s cap == 16 * 25-frame segments
+
+    batcher = BucketBatcher(ds, batch_size=1,
+                            boundaries=boundaries_for(hp.data))
+    assert sum(len(b) for b in batcher.buckets) == 1, "must land in a bucket"
+    batches = list(batcher.epoch_batches(0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["ppg"].shape == (1, 400, hp.vits.ppg_dim)
+    assert b["audio"].shape == (1, 400 * hop, 1)
+    assert int(b["ppg_l"][0]) == 400
+    # content, not zero-padding, fills the batch to the cap
+    assert np.abs(b["ppg"][0, 399]).max() > 0
+    assert np.abs(b["audio"][0, -hop:]).max() > 0
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path, rng):
     from whisper_vits_svc_tpu.train.loop import train

@@ -101,6 +101,65 @@ def measure_extractor_stages():
     return results
 
 
+def measure_host_stages(audio_seconds: float = 10.0):
+    """Wall-clock the HOST-side stages of the real inference walk
+    (reference svc_inference.py:137-199 pays these on CPU too): input
+    load/resample (scipy polyphase), CREPE framing, and CREPE postprocess
+    (range mask + softmax + viterbi backtrace + NaN filters). These run on
+    the host CPU only — no tunnel/device involvement — so min-of-5 wall
+    clock is reliable where device wall clock is not (see module docstring).
+    Per-chunk H2D/D2H through the shared tunnel cannot be measured
+    meaningfully here and is excluded (stated in the emitted JSON).
+
+    Returns {stage: {host_ms, audio_s_per_call}}."""
+    import time
+
+    from whisper_vits_svc_tpu.models.crepe import (
+        bins_to_cents, cents_to_frequency, frame_audio, frequency_to_bins,
+        nan_mean_filter,
+    )
+    from whisper_vits_svc_tpu.utils.audio_io import resample
+
+    rng = np.random.default_rng(1)
+    results = {}
+
+    def wall(name, fn, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {"host_ms": round(best * 1e3, 2),
+                         "audio_s_per_call": audio_seconds}
+
+    wav44 = rng.standard_normal(int(audio_seconds * 44100)).astype(np.float32)
+    wall("load_resample_44k_to_16k", lambda: resample(wav44, 44100, 16000))
+
+    wav16 = rng.standard_normal(int(audio_seconds * 16000)).astype(np.float32)
+    wall("crepe_framing", lambda: frame_audio(wav16, 320))
+
+    t_frames = int(audio_seconds * 16000 / 320)
+    probs = rng.standard_normal((t_frames, 360)).astype(np.float32)
+    minidx = frequency_to_bins(50.0)
+    maxidx = frequency_to_bins(1000.0, np.ceil)
+
+    def post():
+        masked = probs.copy()
+        masked[:, :minidx] = -np.inf
+        masked[:, maxidx:] = -np.inf
+        ex = np.exp(masked - masked.max(axis=1, keepdims=True))
+        soft = ex / ex.sum(axis=1, keepdims=True)
+        # viterbi trellis itself runs on device (models/crepe.py:148); the
+        # host share is the backtrace-equivalent argmax walk + filters
+        bins = soft.argmax(axis=1)
+        pitch = cents_to_frequency(bins_to_cents(bins, None))
+        pitch = np.repeat(pitch, 2)
+        return nan_mean_filter(pitch.astype(np.float64), 5)
+
+    wall("crepe_postprocess_filters", post)
+    return results
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -162,13 +221,22 @@ def main():
     sec_per_audio_sec = sum(
         (v["device_ms"] / 1e3) / v["audio_s_per_call"] for v in results.values()
     )
-    e2e_rtf = 1.0 / sec_per_audio_sec
+    device_rtf = 1.0 / sec_per_audio_sec
+    host = measure_host_stages()
+    host_sec_per_audio_sec = sum(
+        (v["host_ms"] / 1e3) / v["audio_s_per_call"] for v in host.values()
+    )
+    e2e_rtf = 1.0 / (sec_per_audio_sec + host_sec_per_audio_sec)
     print(json.dumps({
         "metric": "end_to_end_svc_rtf",
         "value": round(e2e_rtf, 2),
-        "unit": "audio_seconds_per_second_per_chip (whisper+hubert+crepe+synth)",
+        "unit": "audio_seconds_per_second_per_chip "
+                "(whisper+hubert+crepe+synth device compute + host DSP; "
+                "per-chunk H2D/D2H through the shared tunnel excluded)",
         "vs_baseline": round(e2e_rtf / 1.0, 2),
+        "device_compute_rtf": round(device_rtf, 2),
         "stages": results,
+        "host_stages": host,
     }))
 
 

@@ -79,7 +79,7 @@ class I18n:
 
     def __init__(self, language: str | None = None):
         lang = (language or os.environ.get("SVC_WEBUI_LANG")
-                or (_locale.getdefaultlocale()[0] or ""))
+                or (_locale.getlocale()[0] or ""))
         self.language = lang if lang in LANGUAGES else "zh_CN"
 
     def __call__(self, key: str) -> str:

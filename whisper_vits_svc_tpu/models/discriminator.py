@@ -124,7 +124,8 @@ class DiscriminatorR(nn.Module):
                 h = Conv2d(32, weight_norm=True, freq_folded=True,
                            name=f"convs_{i}", **s)(h)
                 h = jax.nn.leaky_relu(h, self.lrelu_slope)
-                h = h * jnp.repeat(mvec, 32, axis=1)[None, :, None, :].astype(h.dtype)
+                h = h * jnp.repeat(mvec, h.shape[-1] // 4,
+                                   axis=1)[None, :, None, :].astype(h.dtype)
                 fmap.append(_unfold_freq(h, bins))
             h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True,
                        freq_folded=True, name="conv_post")(h)

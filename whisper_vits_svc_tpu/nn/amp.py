@@ -69,7 +69,7 @@ class AMPBlock(nn.Module):
                 and self.snake_exact_edges):
             from ..ops import pallas_amp
 
-            if pallas_amp.use_fused_iter(x.shape[1], x.shape[2]):
+            if pallas_amp.use_fused_iter(x.shape[1], x.shape[2], x.shape[0]):
                 c = self.channels
                 for j, d in enumerate(self.dilation):
                     a1, be1 = _SnakeParams(c, name=f"act1_{j}")()

@@ -280,7 +280,14 @@ def _conv_transpose_polyphase(x: jax.Array, kernel: jax.Array, stride: int,
     return y.reshape(b, T, s, O).reshape(b, T * s, O)
 
 
-def _fold_freq_kernel(kernel: jax.Array, r: int = 4) -> jax.Array:
+# H-to-channel fold factor shared by _fold_freq_kernel and Conv2d's
+# freq_folded path (and the matching data-side helpers in
+# models/discriminator.py). The folded Conv2d hardwires this one value —
+# keep it in a single place so a different r can't silently mismatch.
+FOLD_R = 4
+
+
+def _fold_freq_kernel(kernel: jax.Array, r: int = FOLD_R) -> jax.Array:
     """Fold a (3, kw, I, O) stride-1/pad-1 H-axis conv kernel into the
     r-way H-to-channel space: (3, kw, r*I, r*O).
 
@@ -325,7 +332,7 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1] // 4 if self.freq_folded else x.shape[-1]
+        in_ch = x.shape[-1] // FOLD_R if self.freq_folded else x.shape[-1]
         kh, kw = self.kernel_size
         kshape = (kh, kw, in_ch, self.features)
         fan_in = in_ch * kh * kw
@@ -356,7 +363,7 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
             bias = bias.astype(y.dtype)
-            y = y + (jnp.tile(bias, 4) if self.freq_folded else bias)
+            y = y + (jnp.tile(bias, FOLD_R) if self.freq_folded else bias)
         return y
 
 

@@ -15,12 +15,39 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .conv import Conv1d
+from .conv import Conv1d, _torch_conv_init, _wn_kernel
 
 
 def gated_activation(x_in: jax.Array, g_l: jax.Array, channels: int) -> jax.Array:
     acts = x_in + g_l
     return jnp.tanh(acts[..., :channels]) * jax.nn.sigmoid(acts[..., channels:])
+
+
+class _ConvWNParams(nn.Module):
+    """Parameter-only twin of Conv1d(weight_norm=True): same names (v/g/bias),
+    shapes, and initializers under the same module path, so checkpoints are
+    interchangeable with the module-composed layer loop. Used by WN's scanned
+    stack, which consumes the raw per-layer arrays stacked along a leading
+    layer axis."""
+
+    kernel_size: int
+    in_ch: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kshape = (self.kernel_size, self.in_ch, self.features)
+        fan_in = self.in_ch * self.kernel_size
+        v = self.param("v", _torch_conv_init(fan_in), kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True)
+            ).reshape(shape),
+            (1, 1, self.features),
+        )
+        bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+        return v, g, bias
 
 
 class WN(nn.Module):
@@ -44,6 +71,10 @@ class WN(nn.Module):
 
         if g is not None:
             g = Conv1d(2 * h * self.n_layers, 1, weight_norm=True, name="cond_layer")(g)
+
+        if (self.dilation_rate == 1 and self.n_layers >= 3
+                and self.p_dropout == 0.0):
+            return self._scan_stack(x, x_mask, g)
 
         for i in range(self.n_layers):
             dilation = self.dilation_rate**i
@@ -75,3 +106,59 @@ class WN(nn.Module):
             else:
                 output = output + res_skip
         return output * x_mask
+
+    def _scan_stack(self, x, x_mask, g):
+        """lax.scan over layers 0..n-2 (identical shapes at dilation 1; the
+        last layer differs — res_skip is h-wide, not 2h) with per-layer params
+        stacked at trace time. One compiled layer body instead of n_layers
+        unrolled copies: the 16-layer posterior + 8 coupling WN instances were
+        the largest single contributor to XLA graph size in the train step
+        (compile-time, not runtime — layers are sequential either way).
+        Param tree and arithmetic are identical to the unrolled loop."""
+        h = self.hidden_channels
+        n = self.n_layers
+        pad = (self.kernel_size - 1) // 2
+        dn = ("NHC", "HIO", "NHC")
+
+        ins = [_ConvWNParams(self.kernel_size, h, 2 * h, name=f"in_layers_{i}")()
+               for i in range(n)]
+        rss = [_ConvWNParams(1, h, 2 * h if i < n - 1 else h,
+                             name=f"res_skip_layers_{i}")()
+               for i in range(n)]
+        stack = lambda seq: jax.tree.map(lambda *a: jnp.stack(a), *seq)
+        iv, ig, ib = stack(ins[:-1])
+        rv, rg, rb = stack(rss[:-1])
+        if g is not None:
+            b, tg = g.shape[0], g.shape[1]
+            g_l = g.reshape(b, tg, n, 2 * h).transpose(2, 0, 1, 3)
+        else:
+            g_l = jnp.zeros((n, 1, 1, 2 * h), x.dtype)
+
+        def body(carry, per):
+            x, out = carry
+            (v_i, g_i, b_i), (v_r, g_r, b_r), gl = per
+            x_in = jax.lax.conv_general_dilated(
+                x, _wn_kernel(v_i, g_i, (0, 1)).astype(x.dtype), (1,),
+                [(pad, pad)], dimension_numbers=dn) + b_i.astype(x.dtype)
+            acts = gated_activation(x_in, gl, h)
+            res_skip = jax.lax.conv_general_dilated(
+                acts, _wn_kernel(v_r, g_r, (0, 1)).astype(x.dtype), (1,),
+                [(0, 0)], dimension_numbers=dn) + b_r.astype(x.dtype)
+            x = (x + res_skip[..., :h]) * x_mask
+            out = out + res_skip[..., h:]
+            return (x, out), None
+
+        (x, output), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x)),
+            ((iv, ig, ib), (rv, rg, rb), g_l[:-1]))
+
+        v_i, g_i, b_i = ins[-1]
+        x_in = jax.lax.conv_general_dilated(
+            x, _wn_kernel(v_i, g_i, (0, 1)).astype(x.dtype), (1,),
+            [(pad, pad)], dimension_numbers=dn) + b_i.astype(x.dtype)
+        acts = gated_activation(x_in, g_l[-1], h)
+        v_r, g_r, b_r = rss[-1]
+        res_skip = jax.lax.conv_general_dilated(
+            acts, _wn_kernel(v_r, g_r, (0, 1)).astype(x.dtype), (1,),
+            [(0, 0)], dimension_numbers=dn) + b_r.astype(x.dtype)
+        return (output + res_skip) * x_mask

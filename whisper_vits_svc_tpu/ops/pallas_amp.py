@@ -45,8 +45,8 @@ from .pallas_snake import _LANE, _tap_floats, snake_range, use_pallas_for
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def use_fused_iter(c: int, t: int) -> bool:
-    return use_pallas_for(c, t)
+def use_fused_iter(c: int, t: int, b: int = 1) -> bool:
+    return use_pallas_for(c, t, b)
 
 
 def _divisor_tile(c: int, t: int) -> int | None:

@@ -83,6 +83,10 @@ def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
       framing is S static shifted slices + one concat — a single fused copy.
     - backward (custom VJP): the overlap-add adjoint as S shifted segment
       adds on the same [B, frames, hop] view.
+
+    Being a custom_vjp with nondiff_argnums, this supports reverse-mode AD
+    only (no jvp/jacfwd) and must be called positionally —
+    frame_signal(y, frame_length=..., hop=...) raises under jax's tracing.
     """
     lead, l_sig = y.shape[:-1], y.shape[-1]
     nf = 1 + (l_sig - frame_length) // hop

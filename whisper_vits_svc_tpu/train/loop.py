@@ -133,10 +133,11 @@ def train(hp: Config, name: str, chkpt_path: str | None = None,
                 writer.log_training(metrics, step)
                 print(
                     "epoch %d | g %.04f m %.04f s %.04f d %.04f k %.04f r %.04f "
-                    "i %.04f | step %d" % (
+                    "i %.04f | gn %.02f dn %.02f | step %d" % (
                         epoch, metrics["loss_g"], metrics["loss_m"],
                         metrics["loss_s"], metrics["loss_d"], metrics["loss_k"],
-                        metrics["loss_r"], metrics["loss_i"], step,
+                        metrics["loss_r"], metrics["loss_i"],
+                        metrics["grad_norm_g"], metrics["grad_norm_d"], step,
                     )
                 )
             if max_steps is not None and step >= max_steps:

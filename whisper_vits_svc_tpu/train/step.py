@@ -110,11 +110,16 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
-def init_train_states(hp, rng) -> tuple[TrainState, TrainState, SynthesizerTrn, Discriminator]:
+def init_train_states(
+    hp, rng, init_frames: int = 100, init_batch: int = 2
+) -> tuple[TrainState, TrainState, SynthesizerTrn, Discriminator]:
+    """Param shapes don't depend on (init_frames, init_batch); smaller values
+    only cheapen the one-off init compile (the CPU-mesh dryrun uses 32/1).
+    init_frames must stay >= the segment slice (segment_size/hop)."""
     g_model, d_model = build_models(hp)
-    t_frames = 100
+    t_frames = init_frames
     seg = hp.data.segment_size
-    b = 2
+    b = init_batch
     dummy = dict(
         ppg=jnp.zeros((b, t_frames, hp.vits.ppg_dim)),
         vec=jnp.zeros((b, t_frames, hp.vits.vec_dim)),
@@ -240,6 +245,11 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
         (_, metrics), (g_grads, d_grads) = jax.value_and_grad(
             joint_loss_fn, has_aux=True
         )((g_state.params, d_state.params), batch, rng)
+        # the reference reports global grad norms every step even with
+        # clipping disabled (vits/commons.py:172-187 via train.py:227,245);
+        # free inside the jitted step, and the main training-health signal
+        metrics["grad_norm_g"] = optax.global_norm(g_grads)
+        metrics["grad_norm_d"] = optax.global_norm(d_grads)
         g_state = g_state.apply_gradients(g_grads)
         d_state = d_state.apply_gradients(d_grads)
         return g_state, d_state, metrics
