@@ -258,22 +258,28 @@ def test_generator_inference_parity():
 # ---------------------------------------------------------------- discriminators
 
 
-def test_mrd_fold_freq_exactness():
+@pytest.mark.parametrize("resolutions", [
+    pytest.param([(512, 50, 240)], id="512"),
+    pytest.param([(1024, 120, 600)], id="1024", marks=pytest.mark.slow),
+])
+def test_mrd_fold_freq_exactness(resolutions):
     """Freq-folded DiscriminatorR == unfolded path: same params, same fmaps,
-    same scores, same parameter gradients (up to float summation order)."""
+    same scores, same parameter gradients (up to float summation order).
+    One resolution in the fast tier (the fold math is resolution-agnostic);
+    the second is a slow-tier cross-check."""
     from whisper_vits_svc_tpu.models.discriminator import DiscriminatorR as R
 
     rng = np.random.default_rng(17)
     x = jnp.asarray(rng.standard_normal((2, 1200, 1)) * 0.3, jnp.float32)
-    for res in [(512, 50, 240), (1024, 120, 600)]:
+    for res in resolutions:
         d_ref = R(res, fold_freq=False)
         d_fold = R(res, fold_freq=True)
         p = d_ref.init(jax.random.PRNGKey(0), x)["params"]
         assert jax.tree_util.tree_structure(
             d_fold.init(jax.random.PRNGKey(0), x)["params"]
         ) == jax.tree_util.tree_structure(p)
-        f_ref, s_ref = d_ref.apply({"params": p}, x)
-        f_fold, s_fold = d_fold.apply({"params": p}, x)
+        f_ref, s_ref = jax.jit(d_ref.apply)({"params": p}, x)
+        f_fold, s_fold = jax.jit(d_fold.apply)({"params": p}, x)
         np.testing.assert_allclose(s_fold, s_ref, atol=2e-5, rtol=1e-5)
         for a, b in zip(f_fold, f_ref):
             assert a.shape == b.shape
@@ -287,11 +293,45 @@ def test_mrd_fold_freq_exactness():
             return jnp.mean(jnp.square(score - 1.0)) + sum(
                 jnp.mean(jnp.abs(f)) for f in fmap)
 
-        g_ref = jax.grad(loss)(p, d_ref)
-        g_fold = jax.grad(loss)(p, d_fold)
+        g_ref = jax.jit(jax.grad(loss), static_argnums=1)(p, d_ref)
+        g_fold = jax.jit(jax.grad(loss), static_argnums=1)(p, d_fold)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5, rtol=2e-4),
             g_fold, g_ref)
+
+
+def test_mrd_folded_fmaps_loss_equality():
+    """fold_fmaps=True (folded-layout, count-corrected fmaps — the trainer's
+    mode) must give the SAME feature-matching/adversarial loss values and
+    parameter gradients as the unfolded fmaps, without any unfold in the
+    graph. The scores are identical tensors; only the fmap layout differs."""
+    from whisper_vits_svc_tpu.models.discriminator import DiscriminatorR as R
+    from whisper_vits_svc_tpu.train import losses
+
+    rng = np.random.default_rng(23)
+    res = (512, 50, 240)
+    fake = jnp.asarray(rng.standard_normal((2, 1200, 1)) * 0.3, jnp.float32)
+    real = jnp.asarray(rng.standard_normal((2, 1200, 1)) * 0.3, jnp.float32)
+    d_plain = R(res, fold_freq=True, fold_fmaps=False)
+    d_fold = R(res, fold_freq=True, fold_fmaps=True)
+    p = d_plain.init(jax.random.PRNGKey(0), fake)["params"]
+
+    def gan_losses(params, mod):
+        df = [mod.apply({"params": params}, fake)]
+        dr = [mod.apply({"params": params}, real)]
+        return (losses.feature_matching_loss(df, dr)
+                + losses.generator_adversarial_loss(df)
+                + losses.discriminator_adversarial_loss(df, dr))
+
+    l_plain = jax.jit(gan_losses, static_argnums=1)(p, d_plain)
+    l_fold = jax.jit(gan_losses, static_argnums=1)(p, d_fold)
+    np.testing.assert_allclose(float(l_fold), float(l_plain),
+                               rtol=2e-6, atol=2e-6)
+    g_plain = jax.jit(jax.grad(gan_losses), static_argnums=1)(p, d_plain)
+    g_fold = jax.jit(jax.grad(gan_losses), static_argnums=1)(p, d_fold)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=3e-6, rtol=2e-4),
+        g_fold, g_plain)
 
 
 @pytest.mark.slow

@@ -113,19 +113,24 @@ def test_overfit_one_batch(micro_train):
 
     batch = synthetic_batch(mt["hp"], np.random.default_rng(3), b=8, t=20)
 
-    n_steps = 140
-    first = last = None
+    # cap at 140 steps but stop at the FIRST >=25% reconstruction drop
+    # (10-step means) — the assertion is a threshold crossing, so extra
+    # steps past it only cost tier wall time (VERDICT r2 next #3)
+    n_max = 140
     window = []
-    for i in range(n_steps):
+    early = late = None
+    for i in range(n_max):
         g_state, d_state, metrics = mt["step"](
             g_state, d_state, batch, jax.random.PRNGKey(1000 + i)
         )
-        if i == 4:
-            first = {k: float(v) for k, v in metrics.items()}
         window.append(float(metrics["loss_m"]) + float(metrics["loss_s"]))
+        if i == 9:
+            early = np.mean(window)
+        if early is not None and i >= 29:
+            late = np.mean(window[-10:])
+            if late < 0.75 * early:
+                break
     last = {k: float(v) for k, v in metrics.items()}
-    early = np.mean(window[:10])
-    late = np.mean(window[-10:])
     # reconstruction (mel + MR-STFT) must fall by >=25% when overfitting one batch
     assert late < 0.75 * early, f"no convergence: {early:.3f} -> {late:.3f}"
     # discriminator healthy: loss_d stays finite and away from 0 (collapse)

@@ -79,9 +79,24 @@ def module_breakdown(trace, n_steps):
         name = next((m for m in _MODULES if m in t), "other")
         mods[f"{name:20s} {side}"] += e["dur"]
     n = max(n_steps, 1)
+    # per-span detail of the data-formatting class (copies/transposes):
+    # which module scope they sit in and the HLO shape, so layout work is
+    # attributable to a specific boundary (VERDICT r3 #4)
+    fmt = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        a = e.get("args", {})
+        t = a.get("tf_op")
+        if t is None or a.get("hlo_category") not in (
+                "data formatting", "copy", "pad"):
+            continue
+        mod = "/".join(p for p in t.split("/") if not p.startswith("jit"))
+        fmt[f"{e.get('name', '?'):34s} {a.get('shape', ''):24s} {mod[-60:]}"] += e["dur"]
     return (
         sorted(((k, v / 1e3 / n) for k, v in mods.items()), key=lambda kv: -kv[1]),
         sorted(((k, v / 1e3 / n) for k, v in cats.items()), key=lambda kv: -kv[1]),
+        sorted(((k, v / 1e3 / n) for k, v in fmt.items()), key=lambda kv: -kv[1]),
     )
 
 
@@ -147,13 +162,16 @@ def main():
         ms = us / 1e3 / max(n, 1)
         print(f"{name[:60]:60s} {ms:9.3f} {100 * us / 1e3 / max(total_op_ms, 1e-9):6.1f}")
 
-    mods, cats = module_breakdown(trace, n)
+    mods, cats, fmt = module_breakdown(trace, n)
     print(f"\n{'module (tf_op path)':30s} {'ms/step':>9s}")
     for name, ms in mods:
         print(f"{name:30s} {ms:9.2f}")
     print(f"\n{'hlo category':30s} {'ms/step':>9s}")
     for name, ms in cats[:12]:
         print(f"{name:30s} {ms:9.2f}")
+    print(f"\n{'data-formatting span (op / shape / module scope)':90s} {'ms/step':>9s}")
+    for name, ms in fmt[:20]:
+        print(f"{name[:118]:118s} {ms:9.3f}")
 
 
 if __name__ == "__main__":

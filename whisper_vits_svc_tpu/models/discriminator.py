@@ -92,6 +92,15 @@ class DiscriminatorR(nn.Module):
     lrelu_slope: float = 0.2
     compute_dtype: jnp.dtype | None = None
     fold_freq: bool = True
+    # fold_fmaps=True returns the layer fmaps IN the folded layout, scaled by
+    # 4*fq/bins so jnp.mean-based L1 feature matching over them equals the
+    # unfolded mean exactly (pad rows are masked to 0 on both sides of the
+    # |fake-real| difference; only the element COUNT differs, which the scale
+    # corrects). Kills an unfold copy per layer per resolution — and its
+    # re-fold adjoint in backward — that a device trace showed as the
+    # dominant data-formatting cost of the train step. The score path always
+    # unfolds (1 channel, 32x smaller). Value/grad equality is test-enforced.
+    fold_fmaps: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -119,6 +128,8 @@ class DiscriminatorR(nn.Module):
             # every layer (fuses into the conv epilogue)
             fq = -(-bins // 4)
             mvec = (jnp.arange(fq * 4) < bins).reshape(fq, 4)
+            # count correction for folded-fmap means (see fold_fmaps above)
+            scale = jnp.asarray(4 * fq / bins, h.dtype)
             h = _fold_freq(h)
             for i, s in enumerate(specs):
                 h = Conv2d(32, weight_norm=True, freq_folded=True,
@@ -126,11 +137,18 @@ class DiscriminatorR(nn.Module):
                 h = jax.nn.leaky_relu(h, self.lrelu_slope)
                 h = h * jnp.repeat(mvec, h.shape[-1] // 4,
                                    axis=1)[None, :, None, :].astype(h.dtype)
-                fmap.append(_unfold_freq(h, bins))
+                fmap.append(h * scale if self.fold_fmaps
+                            else _unfold_freq(h, bins))
             h = Conv2d(1, (3, 3), padding=(1, 1), weight_norm=True,
                        freq_folded=True, name="conv_post")(h)
-            h = _unfold_freq(h, bins)
-            fmap.append(h)
+            if self.fold_fmaps:
+                # conv_post's fold-pad rows hold bias garbage (no mask was
+                # applied after it) — mask before the fmap copy
+                fmap.append(h * (mvec[None, :, None, :].astype(h.dtype) * scale))
+                h = _unfold_freq(h, bins)
+            else:
+                h = _unfold_freq(h, bins)
+                fmap.append(h)
         else:
             for i, s in enumerate(specs):
                 h = Conv2d(32, weight_norm=True, name=f"convs_{i}", **s)(h)
@@ -237,6 +255,9 @@ class Discriminator(nn.Module):
     # reference trains f32 (no AMP in vits_extend/train.py).
     compute_dtype: jnp.dtype | None = None
     mrd_fold_freq: bool = True
+    # folded-layout MRD fmaps (scaled for exact mean-L1 equality) — see
+    # DiscriminatorR.fold_fmaps; enabled by the trainer, off for parity tests
+    mrd_fold_fmaps: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -245,6 +266,7 @@ class Discriminator(nn.Module):
             out.append(DiscriminatorR(tuple(res), self.lrelu_slope,
                                       self.compute_dtype,
                                       fold_freq=self.mrd_fold_freq,
+                                      fold_fmaps=self.mrd_fold_fmaps,
                                       name=f"mrd_{i}")(x))
         for i, p in enumerate(self.mpd_periods):
             out.append(

@@ -79,6 +79,9 @@ def build_models(hp) -> tuple[SynthesizerTrn, Discriminator]:
         mpd_stride=hp.mpd.stride,
         lrelu_slope=hp.mpd.lReLU_slope,
         compute_dtype=jnp.bfloat16 if hp.train.get("bf16_discriminator") else None,
+        # folded MRD fmaps: identical loss values (count-corrected scale,
+        # test-enforced), no unfold/refold layout passes in fwd/bwd
+        mrd_fold_fmaps=True,
     )
     return g, d
 
