@@ -86,6 +86,42 @@ def main():
         ms_per_call = best * 1e3
 
     rtf = audio_seconds_per_call / (ms_per_call / 1e3)
+
+    # bf16 synthesis: the reference's own inference stack runs HALF precision
+    # on GPU (whisper/inference.py:15 fp16; torch fp16 inference generally),
+    # so bf16 is the parity-fair comparison point; f32 stays the headline.
+    # BENCH_BF16=0 skips the extra compile.
+    import os
+
+    bf16_ms = None
+    if (os.environ.get("BENCH_BF16", "1") != "0"
+            and jax.default_backend() != "cpu"):
+        import jax.numpy as _jnp
+
+        bparams = jax.tree.map(lambda v: v.astype(_jnp.bfloat16), params)
+
+        @jax.jit
+        def synth_bf16(params, ppg, vec, pit, spk, lengths):
+            source = source_hn_nsf(pit, hop, sr, rng=None)
+            out = model.apply(
+                {"params": params}, ppg.astype(_jnp.bfloat16),
+                vec.astype(_jnp.bfloat16), pit, spk.astype(_jnp.bfloat16),
+                lengths, source.astype(_jnp.bfloat16),
+                rngs={"noise": jax.random.PRNGKey(2)},
+            )
+            return out.astype(_jnp.float32)
+
+        out = synth_bf16(bparams, ppg, vec, pit, spk, lengths)
+        out.block_until_ready()
+
+        def run_calls_bf16():
+            o = None
+            for i in range(4):
+                o = synth_bf16(bparams, ppg, vec, pit + i * 1e-4, spk, lengths)
+            o.block_until_ready()
+
+        bf16_ms = measure_device_ms(run_calls_bf16, name_prefix="jit_synth_bf16")
+
     record = {
         "metric": "synthesis_realtime_factor",
         "value": round(rtf, 2),
@@ -100,6 +136,10 @@ def main():
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
     }
+    if bf16_ms is not None:
+        record["synthesis_rtf_bf16"] = round(
+            audio_seconds_per_call / (bf16_ms / 1e3), 2)
+        record["device_ms_per_10s_chunk_bf16"] = round(bf16_ms, 2)
 
     # Compound end-to-end RTF (whisper PPG + hubert vec + crepe F0 + this
     # synthesis graph) — the measured counterclaim to the reference's
