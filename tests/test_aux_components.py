@@ -190,3 +190,24 @@ def test_praat_ac_on_harmonic_tones():
     # reference pads 1024//160 = 6 zero frames each side (pitch/inference.py:21-27)
     assert (f0[:6] == 0).all()
     assert np.mean(f0[70:] == 0) > 0.9
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """CLI compile-cache helper: honors SVC_XLA_CACHE, creates the dir, sets
+    jax's persistent-cache config; empty value disables."""
+    import jax
+
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xc")
+        monkeypatch.setenv("SVC_XLA_CACHE", d)
+        assert enable_compile_cache() == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+        assert os.path.isdir(d)
+        monkeypatch.setenv("SVC_XLA_CACHE", "")
+        assert enable_compile_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -117,6 +117,9 @@ def main(argv=None):
 
 def main_from_namespace(args):
     hp = load_config(args.config)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     auto_extract(args)
 
     # mesh-sharded synthesis keeps the Pallas kernels: svc_infer wraps the

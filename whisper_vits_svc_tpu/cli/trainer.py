@@ -24,6 +24,9 @@ def main(argv=None):
 
     hp = load_config(args.config)
     assert hp.data.hop_length == 320, "hop_length must be 320 (reference svc_trainer.py:27)"
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     np.random.seed(hp.train.seed)
     train(hp, args.name, args.checkpoint_path, args.max_epochs, args.max_steps,
           profile_dir=args.profile_dir)

@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+First compiles of the base-config train step / inference graph cost minutes
+(CPU) to ~30 s (TPU); the cache is keyed by the HLO program + compile
+options, so stale hits are impossible and re-runs of the same config skip
+every unchanged compile. Enabled by the CLIs (trainer/inference/webui);
+opt out with SVC_XLA_CACHE="" or point it elsewhere with
+SVC_XLA_CACHE=/path.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache() -> str | None:
+    """Configure jax's persistent compilation cache. Returns the dir used
+    (None when disabled). Safe to call multiple times / before backend init."""
+    path = os.environ.get(
+        "SVC_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "whisper_vits_svc_tpu",
+                     "xla"),
+    )
+    if not path:
+        return None
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return path
