@@ -292,3 +292,42 @@ def test_preprocess_driver(tmp_path, rng):
     rows = build_filelists(str(out), str(files), valid_count=1)
     assert len(rows) == 3
     assert os.path.isfile(files / "train.txt")
+
+
+def test_stablehlo_serving_roundtrip(tmp_path, rng):
+    """jax.export serving artifact: serialize the micro synthesis graph
+    (weights baked in), deserialize from bytes, and the call must match the
+    direct model.apply output; the artifact is a self-contained file."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.infer import pipeline, serving
+    from whisper_vits_svc_tpu.utils.testing import micro_hp
+
+    hp = micro_hp()
+    model = pipeline.build_infer_model(hp, pallas_snake=False)
+    b, t = 1, 24
+    hop = hp.data.hop_length
+    ppg = jnp.asarray(rng.standard_normal((b, t, hp.vits.ppg_dim)), jnp.float32) * 0.1
+    vec = jnp.asarray(rng.standard_normal((b, t, hp.vits.vec_dim)), jnp.float32) * 0.1
+    pit = jnp.asarray(rng.uniform(100, 400, (b, t)), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((b, hp.vits.spk_dim)), jnp.float32) * 0.1
+    lengths = jnp.full((b,), t, jnp.int32)
+    source = jnp.asarray(
+        rng.standard_normal((b, t * hop, 1)), jnp.float32) * 0.1
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        ppg, vec, pit, spk, lengths, source,
+    )["params"]
+
+    path = str(tmp_path / "serving.bin")
+    n = serving.export_synthesis(params, hp, path, chunk_frames=t, batch=b)
+    assert n > 0 and os.path.getsize(path) == n
+
+    fn = serving.load_synthesis(path)
+    got = np.asarray(fn(ppg, vec, pit, spk, lengths, source))
+    want = np.asarray(
+        serving.build_synthesis_fn(params, hp)(ppg, vec, pit, spk, lengths,
+                                               source))
+    assert got.shape == (b, t * hop, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)

@@ -1,0 +1,103 @@
+"""Serialized serving artifacts for the synthesis graph (jax.export).
+
+The reference's deployment story is "load the .pth in this repo's python"
+(svc_export.py -> svc_inference.py). For production serving we additionally
+export the jitted chunk-synthesis function as a **StableHLO artifact**:
+a single self-contained file (weights baked in as constants) that any
+jax-capable host can deserialize and call — no model code, no flax, no
+checkpoint conversion at serve time, and the graph is version-pinned
+against framework drift.
+
+    export_synthesis(params, hp, "svc_serving.bin", chunk_frames=2520)
+    fn = load_synthesis("svc_serving.bin")
+    wav = fn(ppg, vec, pit, spk, lengths, source)   # jittable
+
+The artifact is shape-specialized to one chunk geometry (static shapes are
+the TPU contract; the chunked pipeline always pads to `out_chunk +
+2*hop_frame` frames, infer/pipeline.py). Multi-platform lowering
+(platforms=("tpu", "cpu")) makes one artifact servable on both.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..nn.nsf import source_hn_nsf
+
+
+def build_synthesis_fn(params, hp, compute_dtype=None):
+    """-> f(ppg, vec, pit, spk, lengths, source) with weights captured.
+
+    Noise is baked deterministic (fixed key) — a serving artifact must be
+    reproducible; the interactive CLI path keeps per-chunk rngs. Pallas
+    kernels are left off: a pallas_call inside the serialized module would
+    pin it to one TPU generation."""
+    from .pipeline import build_infer_model
+
+    model = build_infer_model(hp, pallas_snake=False)
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params)
+
+    def fn(ppg, vec, pit, spk, lengths, source):
+        cast = (lambda x: x.astype(compute_dtype)) if compute_dtype else (lambda x: x)
+        out = model.apply(
+            {"params": params},
+            cast(ppg), cast(vec), pit, cast(spk), lengths, cast(source),
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        return out.astype(jnp.float32)
+
+    return fn
+
+
+def export_synthesis(
+    params,
+    hp,
+    path: str,
+    chunk_frames: int = 2520,
+    batch: int = 1,
+    platforms: tuple[str, ...] | None = None,
+    compute_dtype=None,
+) -> int:
+    """Serialize the synthesis graph to `path`; returns the artifact size.
+
+    chunk_frames=2520 is the pipeline's static chunk (25 s + 2x100 ms
+    overlap at 100 fps, reference svc_inference.py:96-98)."""
+    hop = hp.data.hop_length
+    fn = build_synthesis_fn(params, hp, compute_dtype=compute_dtype)
+    b, t = batch, chunk_frames
+    args = (
+        jax.ShapeDtypeStruct((b, t, hp.vits.ppg_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, t, hp.vits.vec_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, t), jnp.float32),
+        jax.ShapeDtypeStruct((b, hp.vits.spk_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b, t * hop, 1), jnp.float32),
+    )
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*args)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_synthesis(path: str):
+    """Deserialize a serving artifact -> jittable callable."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+
+    def fn(ppg, vec, pit, spk, lengths, source):
+        return exported.call(ppg, vec, pit, spk, lengths, source)
+
+    return fn
+
+
+def make_source(pit: np.ndarray, hp) -> jax.Array:
+    """Whole-utterance excitation for the exported graph (deterministic)."""
+    return source_hn_nsf(jnp.asarray(pit)[None, :], hp.data.hop_length,
+                         hp.data.sampling_rate, rng=None)
