@@ -331,3 +331,39 @@ def test_stablehlo_serving_roundtrip(tmp_path, rng):
                                                source))
     assert got.shape == (b, t * hop, 1)
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+def test_extractor_serving_roundtrip(tmp_path, rng):
+    """Extractor serving artifacts (crepe-tiny + reduced hubert): serialized
+    call == direct apply."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.infer import serving
+    from whisper_vits_svc_tpu.models.crepe import Crepe, normalize_frames
+    from whisper_vits_svc_tpu.models.hubert import HubertSoft
+
+    cmodel = Crepe(capacity="tiny")
+    frames = jnp.asarray(rng.standard_normal((4, 1024)), jnp.float32)
+    cparams = cmodel.init(jax.random.PRNGKey(0), frames)["params"]
+    cpath = str(tmp_path / "crepe.bin")
+    assert serving.export_extractor("crepe", cparams, cpath, batch=4,
+                                    model=cmodel) > 0
+    got = np.asarray(serving.load_exported(cpath)(frames))
+    want = np.asarray(cmodel.apply({"params": cparams},
+                                   normalize_frames(frames)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+    hmodel = HubertSoft(n_layers=1)
+    wav = jnp.asarray(rng.standard_normal((1, 16000)), jnp.float32) * 0.1
+    hparams = hmodel.init(jax.random.PRNGKey(1), wav)["params"]
+    hpath = str(tmp_path / "hubert.bin")
+
+    def hfn(w):
+        return hmodel.apply({"params": hparams}, w)
+
+    assert serving.export_jitted(
+        hfn, (jax.ShapeDtypeStruct((1, 16000), jnp.float32),), hpath) > 0
+    got = np.asarray(serving.load_exported(hpath)(wav))
+    want = np.asarray(hfn(wav))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

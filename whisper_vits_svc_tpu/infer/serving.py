@@ -88,13 +88,71 @@ def export_synthesis(
 
 def load_synthesis(path: str):
     """Deserialize a serving artifact -> jittable callable."""
+    return load_exported(path)
+
+
+def export_jitted(fn, args_spec: tuple, path: str,
+                  platforms: tuple[str, ...] | None = None) -> int:
+    """Serialize any jittable fn at the given ShapeDtypeStruct signature."""
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*args_spec)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_exported(path: str):
+    """Deserialize any serving artifact -> callable (jittable)."""
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
+    return lambda *args: exported.call(*args)
 
-    def fn(ppg, vec, pit, spk, lengths, source):
-        return exported.call(ppg, vec, pit, spk, lengths, source)
 
-    return fn
+def export_extractor(kind: str, params, path: str, *,
+                     batch: int = 1, model=None,
+                     platforms: tuple[str, ...] | None = None) -> int:
+    """Serving artifacts for the feature extractors (weights baked in).
+
+    kind='whisper': [B, 480000] 16 kHz wav (one 15 s window,
+        whisper/inference.py:37) -> log-mel -> PPG [B, 1500, 1280].
+    kind='hubert': [B, 320000] 16 kHz wav (20 s chunk,
+        hubert/inference.py:30) -> soft units [B, T//320, 256].
+    kind='crepe': [N, 1024] raw windows -> normalize -> [N, 360] bin
+        probabilities (batch = N, reference batch 512).
+
+    `model` overrides the default-dims module (e.g. reduced test configs)."""
+    if kind == "whisper":
+        from ..models.whisper import WINDOW_SAMPLES, WhisperEncoder, log_mel_spectrogram
+
+        model = model or WhisperEncoder()
+
+        def fn(wav):
+            return model.apply({"params": params}, log_mel_spectrogram(wav))
+
+        spec = (jax.ShapeDtypeStruct((batch, WINDOW_SAMPLES), jnp.float32),)
+    elif kind == "hubert":
+        from ..models.hubert import HubertSoft
+
+        model = model or HubertSoft()
+
+        def fn(wav):
+            return model.apply({"params": params}, wav)
+
+        spec = (jax.ShapeDtypeStruct((batch, 20 * 16000), jnp.float32),)
+    elif kind == "crepe":
+        from ..models.crepe import Crepe, normalize_frames
+
+        model = model or Crepe(capacity="full")
+
+        def fn(frames):
+            return model.apply({"params": params}, normalize_frames(frames))
+
+        spec = (jax.ShapeDtypeStruct((batch, 1024), jnp.float32),)
+    else:
+        raise ValueError(f"unknown extractor kind {kind!r}")
+    return export_jitted(fn, spec, path, platforms)
 
 
 def make_source(pit: np.ndarray, hp) -> jax.Array:
