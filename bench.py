@@ -96,31 +96,37 @@ def main():
     bf16_ms = None
     if (os.environ.get("BENCH_BF16", "1") != "0"
             and jax.default_backend() != "cpu"):
-        import jax.numpy as _jnp
+        try:  # never lose the f32 headline number to a bf16-path failure
+            import jax.numpy as _jnp
 
-        bparams = jax.tree.map(lambda v: v.astype(_jnp.bfloat16), params)
+            bparams = jax.tree.map(lambda v: v.astype(_jnp.bfloat16), params)
 
-        @jax.jit
-        def synth_bf16(params, ppg, vec, pit, spk, lengths):
-            source = source_hn_nsf(pit, hop, sr, rng=None)
-            out = model.apply(
-                {"params": params}, ppg.astype(_jnp.bfloat16),
-                vec.astype(_jnp.bfloat16), pit, spk.astype(_jnp.bfloat16),
-                lengths, source.astype(_jnp.bfloat16),
-                rngs={"noise": jax.random.PRNGKey(2)},
-            )
-            return out.astype(_jnp.float32)
+            @jax.jit
+            def synth_bf16(params, ppg, vec, pit, spk, lengths):
+                source = source_hn_nsf(pit, hop, sr, rng=None)
+                out = model.apply(
+                    {"params": params}, ppg.astype(_jnp.bfloat16),
+                    vec.astype(_jnp.bfloat16), pit, spk.astype(_jnp.bfloat16),
+                    lengths, source.astype(_jnp.bfloat16),
+                    rngs={"noise": jax.random.PRNGKey(2)},
+                )
+                return out.astype(_jnp.float32)
 
-        out = synth_bf16(bparams, ppg, vec, pit, spk, lengths)
-        out.block_until_ready()
+            out = synth_bf16(bparams, ppg, vec, pit, spk, lengths)
+            out.block_until_ready()
 
-        def run_calls_bf16():
-            o = None
-            for i in range(4):
-                o = synth_bf16(bparams, ppg, vec, pit + i * 1e-4, spk, lengths)
-            o.block_until_ready()
+            def run_calls_bf16():
+                o = None
+                for i in range(4):
+                    o = synth_bf16(bparams, ppg, vec, pit + i * 1e-4, spk,
+                                   lengths)
+                o.block_until_ready()
 
-        bf16_ms = measure_device_ms(run_calls_bf16, name_prefix="jit_synth_bf16")
+            bf16_ms = measure_device_ms(run_calls_bf16,
+                                        name_prefix="jit_synth_bf16")
+        except Exception as e:
+            import sys as _sys
+            print(f"bf16 measurement failed: {e!r}", file=_sys.stderr)
 
     record = {
         "metric": "synthesis_realtime_factor",

@@ -35,16 +35,18 @@ def pytest_configure(config):
     # on CPU, and the cache is keyed by HLO so stale hits are impossible —
     # re-runs skip every unchanged compile. SVC_TEST_CACHE overrides the
     # location ("" disables) e.g. for a deliberately-cold timing run.
-    cache = os.environ.get(
-        "SVC_TEST_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".xla_cache"),
+    # 0.5 s threshold: eager flax applies in the parity tests dispatch many
+    # sub-2s compiles that add up to tens of seconds per run.
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(
+        os.environ.get(
+            "SVC_TEST_CACHE",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".xla_cache")),
+        min_secs=0.5,
     )
-    if cache:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        # 0.5 s threshold: eager flax applies in the parity tests dispatch
-        # many sub-2s compiles that add up to tens of seconds per run
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture

@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bake bf16 weights/compute into the serving artifact")
     args = p.parse_args(argv)
+    if args.stablehlo and not args.config:
+        p.error("--stablehlo requires --config")
 
     payload = (
         ckpt.load_torch_pretrain(args.checkpoint)
@@ -34,7 +36,6 @@ def main(argv=None):
     print(f"exported inference checkpoint -> {args.out}")
 
     if args.stablehlo:
-        assert args.config, "--stablehlo requires --config"
         import jax.numpy as jnp
 
         from ..infer import pipeline, serving

@@ -22,10 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import export as jax_export
-
-from ..nn.nsf import source_hn_nsf
 
 
 def build_synthesis_fn(params, hp, compute_dtype=None):
@@ -77,13 +74,7 @@ def export_synthesis(
         jax.ShapeDtypeStruct((b,), jnp.int32),
         jax.ShapeDtypeStruct((b, t * hop, 1), jnp.float32),
     )
-    if platforms is None:
-        platforms = (jax.default_backend(),)
-    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*args)
-    blob = exported.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return export_jitted(fn, args, path, platforms)
 
 
 def load_synthesis(path: str):
@@ -115,8 +106,8 @@ def export_extractor(kind: str, params, path: str, *,
                      platforms: tuple[str, ...] | None = None) -> int:
     """Serving artifacts for the feature extractors (weights baked in).
 
-    kind='whisper': [B, 480000] 16 kHz wav (one 15 s window,
-        whisper/inference.py:37) -> log-mel -> PPG [B, 1500, 1280].
+    kind='whisper': [B, 240000] 16 kHz wav (one 15 s window = WINDOW_SAMPLES,
+        whisper/inference.py:37) -> log-mel -> PPG [B, 750, 1280].
     kind='hubert': [B, 320000] 16 kHz wav (20 s chunk,
         hubert/inference.py:30) -> soft units [B, T//320, 256].
     kind='crepe': [N, 1024] raw windows -> normalize -> [N, 360] bin
@@ -153,9 +144,3 @@ def export_extractor(kind: str, params, path: str, *,
     else:
         raise ValueError(f"unknown extractor kind {kind!r}")
     return export_jitted(fn, spec, path, platforms)
-
-
-def make_source(pit: np.ndarray, hp) -> jax.Array:
-    """Whole-utterance excitation for the exported graph (deterministic)."""
-    return source_hn_nsf(jnp.asarray(pit)[None, :], hp.data.hop_length,
-                         hp.data.sampling_rate, rng=None)

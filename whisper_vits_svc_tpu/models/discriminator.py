@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.conv import Conv1d, Conv2d
+from ..nn.conv import FOLD_R, Conv1d, Conv2d
 from ..ops.stft import mrd_magnitude
 
 
@@ -58,7 +58,7 @@ class DiscriminatorP(nn.Module):
         return fmap, x.reshape(b, -1)
 
 
-def _fold_freq(h: jax.Array, r: int = 4) -> jax.Array:
+def _fold_freq(h: jax.Array, r: int = FOLD_R) -> jax.Array:
     """[B, F, T, C] -> [B, ceil(F/r), T, r*C] (freq blocks outer, C inner)."""
     b, f, t, c = h.shape
     fp = -(-f // r) * r
@@ -68,7 +68,7 @@ def _fold_freq(h: jax.Array, r: int = 4) -> jax.Array:
         b, fp // r, t, r * c)
 
 
-def _unfold_freq(h: jax.Array, f: int, r: int = 4) -> jax.Array:
+def _unfold_freq(h: jax.Array, f: int, r: int = FOLD_R) -> jax.Array:
     """Inverse of _fold_freq: [B, F', T, r*C] -> [B, f, T, C]."""
     b, fq, t, rc = h.shape
     c = rc // r
@@ -126,16 +126,16 @@ class DiscriminatorR(nn.Module):
             # activation garbage, and the NEXT conv's super-tap would read
             # them where the unfolded op reads its zero pad — mask to 0 after
             # every layer (fuses into the conv epilogue)
-            fq = -(-bins // 4)
-            mvec = (jnp.arange(fq * 4) < bins).reshape(fq, 4)
+            fq = -(-bins // FOLD_R)
+            mvec = (jnp.arange(fq * FOLD_R) < bins).reshape(fq, FOLD_R)
             # count correction for folded-fmap means (see fold_fmaps above)
-            scale = jnp.asarray(4 * fq / bins, h.dtype)
+            scale = jnp.asarray(FOLD_R * fq / bins, h.dtype)
             h = _fold_freq(h)
             for i, s in enumerate(specs):
                 h = Conv2d(32, weight_norm=True, freq_folded=True,
                            name=f"convs_{i}", **s)(h)
                 h = jax.nn.leaky_relu(h, self.lrelu_slope)
-                h = h * jnp.repeat(mvec, h.shape[-1] // 4,
+                h = h * jnp.repeat(mvec, h.shape[-1] // FOLD_R,
                                    axis=1)[None, :, None, :].astype(h.dtype)
                 fmap.append(h * scale if self.fold_fmaps
                             else _unfold_freq(h, bins))
