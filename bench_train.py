@@ -104,6 +104,10 @@ def main():
         "method": method,
         "bf16_discriminator": bool(args.bf16_discriminator),
         "loss_g": float(m["loss_g"]),
+        # provenance (same rationale as bench.py)
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "run_id": f"{time.time_ns():x}",
+        "backend": jax.default_backend(),
     }))
 
 
