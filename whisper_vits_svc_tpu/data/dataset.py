@@ -79,19 +79,41 @@ class SvcDataset:
         return len(self.items)
 
     def get(self, idx: int, rng: np.random.Generator | None = None) -> dict:
-        """One example, randomly cropped to <= its usable length."""
+        """One example, randomly cropped to <= its usable length.
+
+        The per-item reads (wav + 4-5 npys) go through the native C++
+        thread-pooled loader when built (data/native_loader.py) — the
+        batch-building thread is the serial producer feeding the async
+        device step, so C++-side parallel IO (GIL released for the whole
+        batch read) is what keeps the host off the critical path; numpy
+        fallback otherwise."""
         from ..utils.audio_io import load_wav
+        from . import native_loader as nl
 
         it = self.items[idx]
-        audio, sr = load_wav(it.wav)
+        npy_paths = [it.pitch, it.vec, it.ppg, it.spk]
+        spec_is_npy = it.spec.endswith(".npy")
+        if spec_is_npy:
+            npy_paths.append(it.spec)
+        loaded = nl.load_npy_batch(npy_paths)
+        nat_wav = nl.load_wav_native(it.wav, sr_hint=self.sr)
+        if nat_wav is not None:
+            audio, sr = nat_wav
+        else:
+            audio, sr = load_wav(it.wav)
         assert sr == self.sr, f"{it.wav}: {sr} != {self.sr}"
-        spec = _load_array(it.spec)
+        spec = (loaded[4] if spec_is_npy and loaded[4] is not None
+                else _load_array(it.spec))
         if spec.shape[0] == self.hp.filter_length // 2 + 1:
             spec = spec.T  # reference layout [bins, T] -> ours [T, bins]
-        pit = np.load(it.pitch).astype(np.float32)
-        vec = np.repeat(np.load(it.vec), 2, axis=0)   # 320-hop -> 160-hop x2
-        ppg = np.repeat(np.load(it.ppg), 2, axis=0)
-        spk = np.load(it.spk).astype(np.float32)
+
+        def _npy(i, path):
+            return loaded[i] if loaded[i] is not None else np.load(path)
+
+        pit = _npy(0, it.pitch).astype(np.float32)
+        vec = np.repeat(_npy(1, it.vec), 2, axis=0)   # 320-hop -> 160-hop x2
+        ppg = np.repeat(_npy(2, it.ppg), 2, axis=0)
+        spk = _npy(3, it.spk).astype(np.float32)
 
         len_min = min(pit.shape[0], vec.shape[0] - 2, ppg.shape[0] - 2,
                       spec.shape[0])
@@ -180,25 +202,28 @@ class BucketBatcher:
         ppg_dim = examples[0]["ppg"].shape[1]
         vec_dim = examples[0]["vec"].shape[1]
         spec_dim = examples[0]["spec"].shape[1]
+        # np.empty + content-fill + zero only the pad tail: the full
+        # np.zeros init wrote every byte twice (16 MB of ppg zeros per
+        # base-config batch) on the serial producer thread
         out = dict(
-            ppg=np.zeros((b, pad_frames, ppg_dim), np.float32),
-            vec=np.zeros((b, pad_frames, vec_dim), np.float32),
-            pit=np.zeros((b, pad_frames), np.float32),
-            spk=np.zeros((b, examples[0]["spk"].shape[0]), np.float32),
-            spec=np.zeros((b, pad_frames, spec_dim), np.float32),
-            audio=np.zeros((b, pad_frames * hop, 1), np.float32),
+            ppg=np.empty((b, pad_frames, ppg_dim), np.float32),
+            vec=np.empty((b, pad_frames, vec_dim), np.float32),
+            pit=np.empty((b, pad_frames), np.float32),
+            spk=np.empty((b, examples[0]["spk"].shape[0]), np.float32),
+            spec=np.empty((b, pad_frames, spec_dim), np.float32),
+            audio=np.empty((b, pad_frames * hop, 1), np.float32),
             ppg_l=np.zeros((b,), np.int32),
             spec_l=np.zeros((b,), np.int32),
         )
         for i, ex in enumerate(examples):
             t = ex["ppg"].shape[0]
-            out["ppg"][i, :t] = ex["ppg"]
-            out["vec"][i, :t] = ex["vec"]
-            out["pit"][i, :t] = ex["pit"]
+            for key in ("ppg", "vec", "pit", "spec"):
+                out[key][i, :t] = ex[key]
+                out[key][i, t:] = 0.0
             out["spk"][i] = ex["spk"]
-            out["spec"][i, :t] = ex["spec"]
             s = min(len(ex["audio"]), pad_frames * hop)
             out["audio"][i, :s, 0] = ex["audio"][:s]
+            out["audio"][i, s:] = 0.0
             out["ppg_l"][i] = t
             out["spec_l"][i] = t
         return out

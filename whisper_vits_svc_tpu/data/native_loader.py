@@ -76,7 +76,14 @@ def load_wav_native(path: str, max_seconds: float = 600.0, sr_hint: int = 32000)
     lib = get_lib()
     if lib is None:
         return None
-    max_len = int(max_seconds * sr_hint)
+    # buffer sized from the file, not the 600 s worst case: a 16-bit PCM
+    # wav has <= size/2 samples (a 76 MB empty-alloc per read measurably
+    # dominated the batch-build path)
+    try:
+        max_len = min(int(max_seconds * sr_hint),
+                      os.path.getsize(path) // 2 + 16)
+    except OSError:
+        return None
     buf = np.empty(max_len, np.float32)
     out_len = ctypes.c_int64(0)
     out_sr = ctypes.c_int32(0)
@@ -93,6 +100,10 @@ def load_wav_native(path: str, max_seconds: float = 600.0, sr_hint: int = 32000)
 def load_npy_native(path: str, max_elems: int = 1 << 26):
     lib = get_lib()
     if lib is None:
+        return None
+    try:  # size the buffer from the file, not the worst case
+        max_elems = min(max_elems, os.path.getsize(path) // 4 + 16)
+    except OSError:
         return None
     buf = np.empty(max_elems, np.float32)
     shape = np.zeros(4, np.int64)
@@ -113,12 +124,26 @@ def load_npy_native(path: str, max_elems: int = 1 << 26):
 
 def load_npy_batch(paths: list[str], max_elems_each: int = 1 << 24,
                    n_threads: int = 0) -> list[np.ndarray | None]:
-    """Thread-pooled batch load; returns None entries for failures."""
+    """Thread-pooled batch load; returns None entries for failures.
+
+    Each destination buffer is sized from its file (f32 npy data bytes <=
+    file size), capped at max_elems_each — exact-size allocs, not
+    worst-case ones."""
     lib = get_lib()
     if lib is None:
         return [None] * len(paths)
     n = len(paths)
-    bufs = [np.empty(max_elems_each, np.float32) for _ in range(n)]
+
+    def _cap(p):
+        # unreadable/missing paths get a token buffer; the loader reports
+        # them per-path via status (callers expect None for just that entry)
+        try:
+            return min(max_elems_each, os.path.getsize(p) // 4 + 16)
+        except OSError:
+            return 16
+
+    caps = [_cap(p) for p in paths]
+    bufs = [np.empty(c, np.float32) for c in caps]
     shapes = np.zeros(n * 4, np.int64)
     ndims = np.zeros(n, np.int32)
     status = np.zeros(n, np.int32)
@@ -126,7 +151,7 @@ def load_npy_batch(paths: list[str], max_elems_each: int = 1 << 24,
     c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
         *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for b in bufs]
     )
-    c_max = (ctypes.c_int64 * n)(*([max_elems_each] * n))
+    c_max = (ctypes.c_int64 * n)(*caps)
     lib.svc_load_npy_many(
         c_paths, c_outs, c_max,
         shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
