@@ -68,6 +68,13 @@ def test_dataset_and_batcher(data_dir, rng):
         assert t_pad in (64, 96, 128)  # bucket upper bounds (max_frames=128)
         assert b["audio"].shape[1] == t_pad * hp.data.hop_length
         assert (b["ppg_l"] <= t_pad).all()
+        # pad tails must be zero (collate fills np.empty + zeroes the tail;
+        # a hole here would leak uninitialized memory into the loss masks)
+        for i in range(b["ppg"].shape[0]):
+            t = int(b["ppg_l"][i])
+            for key in ("ppg", "vec", "pit", "spec"):
+                assert np.all(b[key][i, t:] == 0.0), key
+            assert np.all(b["audio"][i, t * hp.data.hop_length:] == 0.0)
     # epoch-seeded shuffle is deterministic
     b0 = list(batcher.epoch_batches(3))
     b1 = list(batcher.epoch_batches(3))
