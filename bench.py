@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs (incl. the driver's) skip compiles
     from whisper_vits_svc_tpu.models.synthesizer import SynthesizerInfer
     from whisper_vits_svc_tpu.nn.nsf import source_hn_nsf
     from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms

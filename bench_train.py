@@ -47,6 +47,9 @@ def main():
     t_frames = 300  # 3 s utterances (bucket midpoint)
     hop = hp.data.hop_length
 
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs skip the ~10 min tunnel compile
     g_state, d_state, g_model, d_model = init_train_states(hp, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(hp, g_model, d_model))
 
