@@ -146,7 +146,13 @@ def _transition_matrix() -> np.ndarray:
 
 @jax.jit
 def _viterbi_trellis(log_prob: jax.Array):
-    """[T, S] log observation probs -> (final values [S], backpointers [T-1, S])."""
+    """[T, S] log observation probs -> (per-step values [T-1, S],
+    backpointers [T-1, S]).
+
+    Emitting every step's value row (not just the final one) lets the host
+    backtrace start from ANY step t — so the trellis length can be padded to
+    a bucket (one compiled program per bucket instead of one per utterance
+    length) and the padded steps simply ignored."""
     log_trans = jnp.log(jnp.asarray(_transition_matrix()) + 1e-30)  # [from, to]
     init = log_prob[0] + jnp.log(1.0 / PITCH_BINS)
 
@@ -155,24 +161,35 @@ def _viterbi_trellis(log_prob: jax.Array):
         scores = value[:, None] + log_trans
         ptr = jnp.argmax(scores, axis=0)
         new_value = jnp.max(scores, axis=0) + obs
-        return new_value, ptr
+        return new_value, (new_value, ptr)
 
-    final, ptrs = jax.lax.scan(step, init, log_prob[1:])
-    return final, ptrs
+    _, (values, ptrs) = jax.lax.scan(step, init, log_prob[1:])
+    return init, values, ptrs
+
+
+_VITERBI_BUCKET = 256
 
 
 def viterbi_decode(probs: np.ndarray) -> np.ndarray:
     """[T, 360] probabilities (softmaxed logits) -> [T] bin path.
 
     Same HMM as librosa.sequence.viterbi with the reference's triangular
-    transition matrix (decode.py:55-80).
+    transition matrix (decode.py:55-80). The device trellis runs at a
+    bucketed static length (zero-padded observations are never read by the
+    backtrace), the backtrace on host.
     """
+    T = len(probs)
     log_prob = np.log(np.maximum(probs, 1e-30))
-    final, ptrs = _viterbi_trellis(jnp.asarray(log_prob))
-    final, ptrs = np.asarray(final), np.asarray(ptrs)
-    T = len(log_prob)
+    t_pad = max(2, -(-T // _VITERBI_BUCKET) * _VITERBI_BUCKET)
+    padded = np.zeros((t_pad, log_prob.shape[1]), log_prob.dtype)
+    padded[:T] = log_prob
+    init, values, ptrs = _viterbi_trellis(jnp.asarray(padded))
+    values, ptrs = np.asarray(values), np.asarray(ptrs)
     path = np.empty(T, np.int64)
-    path[-1] = int(np.argmax(final))
+    if T == 1:
+        path[0] = int(np.argmax(np.asarray(init)))
+        return path
+    path[-1] = int(np.argmax(values[T - 2]))
     for t in range(T - 2, -1, -1):
         path[t] = ptrs[t, path[t + 1]]
     return path
@@ -216,6 +233,13 @@ def nan_median_filter(x: np.ndarray, win_length: int) -> np.ndarray:
 # ------------------------------------------------------------------ pipeline
 
 
+@partial(jax.jit, static_argnums=0)
+def _crepe_program(model: Crepe, params, batch):
+    """Module-level jit (static model): one compiled [batch_size, 1024]
+    program reused across every utterance — no per-call re-trace."""
+    return model.apply({"params": params}, normalize_frames(batch))
+
+
 def predict(
     model: Crepe,
     params,
@@ -232,12 +256,9 @@ def predict(
     n_pad = (-n) % batch_size
     frames = np.pad(frames, ((0, n_pad), (0, 0)))
 
-    @jax.jit
-    def run(batch):
-        return model.apply({"params": params}, normalize_frames(batch))
-
     probs = np.concatenate(
-        [np.asarray(run(jnp.asarray(frames[i : i + batch_size])))
+        [np.asarray(_crepe_program(model, params,
+                                   jnp.asarray(frames[i : i + batch_size])))
          for i in range(0, len(frames), batch_size)]
     )[:n]
 

@@ -13,6 +13,8 @@ pipeline (inference_mode only) and is omitted.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,18 +22,60 @@ from flax import linen as nn
 
 from ..nn.conv import Conv1d, Dense
 
+_FE_SPECS = [(512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+             (512, 3, 2), (512, 2, 2), (512, 2, 2)]
+
+
+def hubert_num_frames(n_samples: int) -> int:
+    """Output frames of `units()` for raw audio length n_samples — the
+    valid-conv arithmetic of the 7-layer stride-320 stack after the
+    (400-320)/2 pad (hubert_model.py:64-72)."""
+    n = n_samples + 2 * ((400 - 320) // 2)
+    for _, k, s in _FE_SPECS:
+        n = (n - k) // s + 1
+    return n
+
+
+class _InstanceNormTime(nn.Module):
+    """torch GroupNorm(512, 512) on [B, C, T] == per-(row, channel) norm over
+    time, with an optional frame mask so zero-padded rows get the statistics
+    of their natural-length run (biased variance, matching torch)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, frame_mask: jax.Array | None = None) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if frame_mask is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+        else:
+            m = frame_mask[..., None].astype(x.dtype)  # [B, T, 1]
+            cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x * m, axis=1, keepdims=True) / cnt
+            var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / cnt
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
 
 class FeatureExtractor(nn.Module):
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """[B, T, 1] audio -> [B, T//320, 512]."""
-        specs = [(512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
-                 (512, 3, 2), (512, 2, 2), (512, 2, 2)]
-        for i, (ch, k, s) in enumerate(specs):
+    def __call__(self, x: jax.Array,
+                 n_valid0: jax.Array | None = None) -> jax.Array:
+        """[B, T, 1] audio -> [B, T//320, 512].
+
+        n_valid0 [B]: real frame count at the FIRST conv's output rate for
+        zero-padded rows — all convs are valid (no padding), so with the
+        instance-norm statistics masked to real frames, real output frames
+        are exactly those of a natural-length run."""
+        for i, (ch, k, s) in enumerate(_FE_SPECS):
             x = Conv1d(ch, k, stride=s, use_bias=False, name=f"conv{i}")(x)
             if i == 0:
-                # GroupNorm(512, 512) == per-channel instance norm over time
-                x = nn.GroupNorm(num_groups=512, epsilon=1e-5, name="norm0")(x)
+                mask = None
+                if n_valid0 is not None:
+                    mask = jnp.arange(x.shape[1])[None, :] < n_valid0[:, None]
+                x = _InstanceNormTime(name="norm0")(x, mask)
             x = jax.nn.gelu(x, approximate=False)
         return x
 
@@ -65,7 +109,8 @@ class TransformerLayer(nn.Module):
     d_ff: int = 3072
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 key_mask: jax.Array | None = None) -> jax.Array:
         b, t, d = x.shape
         hd = d // self.n_heads
         qkv = Dense(3 * d, name="in_proj")(x)
@@ -73,11 +118,11 @@ class TransformerLayer(nn.Module):
         qh = q.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
         kh = k.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
         vh = v.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
-        w = jax.nn.softmax(
-            jnp.einsum("bhtd,bhsd->bhts", qh / np.sqrt(hd), kh,
-                       preferred_element_type=jnp.float32),
-            axis=-1,
-        )
+        logits = jnp.einsum("bhtd,bhsd->bhts", qh / np.sqrt(hd), kh,
+                            preferred_element_type=jnp.float32)
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
         attn = jnp.einsum("bhts,bhsd->bhtd", w, vh,
                           preferred_element_type=jnp.float32)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -93,17 +138,36 @@ class HubertSoft(nn.Module):
     n_layers: int = 12
 
     @nn.compact
-    def __call__(self, wav: jax.Array) -> jax.Array:
-        """[B, T] 16 kHz audio -> [B, T//320, 256] soft units (units() semantics)."""
+    def __call__(self, wav: jax.Array,
+                 n_samples: jax.Array | None = None) -> jax.Array:
+        """[B, T] 16 kHz audio -> [B, T//320, 256] soft units (units() semantics).
+
+        n_samples [B] gives the real audio length for zero-padded rows; the
+        real output frames (the first hubert_num_frames(n_samples) of each
+        row) then match a natural-length run exactly: valid convs read the
+        same samples, the instance-norm stats are masked, padded frames are
+        zeroed before the positional conv (== the natural run's right
+        zero-padding), and attention keys beyond the real frames are masked."""
         pad = (400 - 320) // 2
         x = jnp.pad(wav, ((0, 0), (pad, pad)))[..., None]
-        x = FeatureExtractor(name="feature_extractor")(x)
+        n_valid0 = frame_mask = None
+        if n_samples is not None:
+            padded = n_samples + 2 * pad
+            n_valid0 = (padded - _FE_SPECS[0][1]) // _FE_SPECS[0][2] + 1
+            n_final = n_valid0
+            for _, k, s in _FE_SPECS[1:]:
+                n_final = (n_final - k) // s + 1
+        x = FeatureExtractor(name="feature_extractor")(x, n_valid0)
+        if n_samples is not None:
+            frame_mask = jnp.arange(x.shape[1])[None, :] < n_final[:, None]
         x = nn.LayerNorm(epsilon=1e-5, name="fp_norm")(x)
         x = Dense(768, name="fp_projection")(x)
+        if frame_mask is not None:
+            x = x * frame_mask[..., None]
         x = x + PositionalConvEmbedding(name="positional_embedding")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         for i in range(self.n_layers):
-            x = TransformerLayer(name=f"layer_{i}")(x)
+            x = TransformerLayer(name=f"layer_{i}")(x, frame_mask)
         return Dense(256, name="proj")(x)
 
 
@@ -161,25 +225,47 @@ def load_hubert_soft(ckpt_path: str):
     return HubertSoft(), convert_hubert(sd)
 
 
+@partial(jax.jit, static_argnums=0)
+def _vec_program(model: HubertSoft, params, wavs, n_samples):
+    """ONE compiled program for soft-unit extraction (module-level jit,
+    static model): [B, win] zero-padded audio rows + [B] real lengths ->
+    [B, frames, 256], rows valid to hubert_num_frames(n_samples)."""
+    return model.apply({"params": params}, wavs, n_samples)
+
+
+def vec_window_batch(model: HubertSoft, params, windows: np.ndarray,
+                     n_samples: np.ndarray) -> np.ndarray:
+    """Cross-utterance batching surface for the preprocessing driver (see
+    ppg_window_batch): fixed-size batches of 20 s windows from many
+    utterances through one compiled program."""
+    return np.asarray(_vec_program(
+        model, params, jnp.asarray(windows, jnp.float32),
+        jnp.asarray(n_samples, jnp.int32)))
+
+
 def pred_vec(model: HubertSoft, params, audio16k: np.ndarray,
              window_seconds: int = 20) -> np.ndarray:
-    """Whole-utterance soft units in 20 s windows (hubert/inference.py:25-50)."""
+    """Whole-utterance soft units in 20 s windows (hubert/inference.py:25-50).
+
+    All windows — including the natural-length tail, zero-padded to the
+    static window with a length mask (exact: see HubertSoft.__call__) — run
+    through one batched call of one compiled program."""
     sr = 16000
     win = window_seconds * sr
-    outs = []
-    idx = 0
     n = len(audio16k)
-
-    @jax.jit
-    def run(wav):
-        return model.apply({"params": params}, wav)
-
-    while idx + win < n:
-        outs.append(np.asarray(run(jnp.asarray(audio16k[idx : idx + win])[None]))[0])
-        idx += win
-    if idx < n:
-        tail = audio16k[idx:]
-        outs.append(np.asarray(model.apply({"params": params}, jnp.asarray(tail)[None]))[0])
-    if not outs:
+    # reference walks `while idx + win < n`: a window starts at every
+    # multiple of win strictly below n, so an exact-multiple length gets a
+    # full-window "tail" (hubert/inference.py:30-40)
+    starts = list(range(0, n, win)) if n > 0 else []
+    if not starts:
         return np.zeros((0, 256), np.float32)
-    return np.concatenate(outs, axis=0)
+    windows = np.zeros((len(starts), win), np.float32)
+    lens = np.empty((len(starts),), np.int64)
+    for i, s in enumerate(starts):
+        seg = audio16k[s : s + win]
+        windows[i, : len(seg)] = seg
+        lens[i] = len(seg)
+    vec = vec_window_batch(model, params, windows, lens)
+    return np.concatenate(
+        [vec[i, : hubert_num_frames(int(lens[i])), :] for i in range(len(starts))],
+        axis=0)

@@ -12,6 +12,8 @@ a -60 dB silence trim (audio.py:561-714).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -251,6 +253,14 @@ def speaker_melspectrogram(audio: np.ndarray) -> np.ndarray:
     return np.clip(norm, -MAX_NORM, MAX_NORM).astype(np.float32)
 
 
+@partial(jax.jit, static_argnums=0)
+def _embed_program(model: LSTMSpeakerEncoder, params, batch):
+    """Module-level jit (static model): the [10, 250, 80] window batch is one
+    compiled program reused across every utterance (>=4 s of trimmed audio
+    always hits the same shape)."""
+    return jnp.mean(model.apply({"params": params}, batch), axis=0)
+
+
 def compute_embedding(model: LSTMSpeakerEncoder, params, audio16k: np.ndarray,
                       num_frames: int = 250, num_eval: int = 10,
                       trim: bool = True) -> np.ndarray:
@@ -262,5 +272,4 @@ def compute_embedding(model: LSTMSpeakerEncoder, params, audio16k: np.ndarray,
     nf = min(num_frames, max_len)
     offsets = np.linspace(0, max_len - nf, num=num_eval).astype(int)
     batch = np.stack([mel[o : o + nf] for o in offsets])
-    emb = model.apply({"params": params}, jnp.asarray(batch))
-    return np.asarray(jnp.mean(emb, axis=0))
+    return np.asarray(_embed_program(model, params, jnp.asarray(batch)))
