@@ -200,6 +200,7 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
     from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         d = str(tmp_path / "xc")
         monkeypatch.setenv("SVC_XLA_CACHE", d)
@@ -211,3 +212,6 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert enable_compile_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        # restore the conftest's threshold too — leaving the helper's 2.0 s
+        # would make later tests' cache behavior order-dependent (ADVICE r3)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)

@@ -325,12 +325,19 @@ def test_stablehlo_serving_roundtrip(tmp_path, rng):
     assert n > 0 and os.path.getsize(path) == n
 
     fn = serving.load_synthesis(path)
-    got = np.asarray(fn(ppg, vec, pit, spk, lengths, source))
+    seed = jnp.int32(7)
+    got = np.asarray(fn(ppg, vec, pit, spk, lengths, source, seed))
     want = np.asarray(
         serving.build_synthesis_fn(params, hp)(ppg, vec, pit, spk, lengths,
-                                               source))
+                                               source, seed))
     assert got.shape == (b, t * hop, 1)
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    # a different seed draws different prior noise (per-chunk variation,
+    # ADVICE r3) and the same seed reproduces exactly
+    other = np.asarray(fn(ppg, vec, pit, spk, lengths, source, jnp.int32(8)))
+    assert not np.array_equal(got, other)
+    np.testing.assert_array_equal(
+        got, np.asarray(fn(ppg, vec, pit, spk, lengths, source, seed)))
 
 
 def test_extractor_serving_roundtrip(tmp_path, rng):
@@ -367,3 +374,34 @@ def test_extractor_serving_roundtrip(tmp_path, rng):
     got = np.asarray(serving.load_exported(hpath)(wav))
     want = np.asarray(hfn(wav))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pitch2source_bucketed_exact(tiny_infer, rng):
+    """Bucketed jitted excitation == eager model.pitch2source: the phase
+    cumsum is a prefix scan, so zero-padded f0 tail frames cannot affect the
+    real prefix."""
+    import jax.numpy as jnp
+
+    hp, model, params = tiny_infer
+    for t in [7, 16, 33]:
+        pit = rng.uniform(100, 400, t).astype(np.float32)
+        want = np.asarray(model.pitch2source(jnp.asarray(pit)[None, :]))
+        got = pipeline.pitch2source_bucketed(model, pit, bucket_frames=16)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_svc_infer_program_reused_across_calls(micro_infer, rng):
+    """Two svc_infer calls must share one compiled chunk program (the
+    per-call jax.jit closure of round 3 re-traced every call)."""
+    hp, model, params = micro_infer
+    t = 30
+    ppg, vec, pit, spk = _features(hp, rng, t)
+    kw = dict(noise_scale=0.0, out_chunk=20, hop_frame=4)
+    pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg, vec,
+                       hp, **kw)
+    size_after_first = pipeline._chunk_program._cache_size()
+    ppg2, vec2, pit2, spk2 = _features(hp, rng, t)
+    pipeline.svc_infer(model, params, DummyRetrieval(), spk2, pit2, ppg2,
+                       vec2, hp, **kw)
+    assert pipeline._chunk_program._cache_size() == size_after_first

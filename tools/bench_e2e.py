@@ -160,6 +160,135 @@ def measure_host_stages(audio_seconds: float = 10.0):
     return results
 
 
+def measure_optional_stages(audio_seconds: float = 10.0):
+    """The two OPTIONAL inference stages the e2e RTF previously excluded
+    (VERDICT r3 #8): feature retrieval blending (svc_inference.py:117-118,
+    --enable-retrieval) and the silero VAD post-filter
+    (svc_inference_post.py:31-51). Both are device programs here
+    (infer/retrieval.py top-k matmul; models/silero_vad.py conv+LSTM scan),
+    measured by device trace like the mandatory stages.
+
+    Returns {stage: {device_ms, rtf, audio_s_per_call}}."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.infer.retrieval import _retrieve_blend
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    rng = np.random.default_rng(3)
+    results = {}
+    t = int(audio_seconds * 100)  # 100 fps feature rate
+
+    # --- retrieval: both banks at the 10k kmeans-compressed max size ---
+    wbank = jnp.asarray(rng.standard_normal((10_000, 1280)), jnp.float32)
+    hbank = jnp.asarray(rng.standard_normal((10_000, 256)), jnp.float32)
+    wq = rng.standard_normal((t, 1280)).astype(np.float32)
+    hq = rng.standard_normal((t, 256)).astype(np.float32)
+
+    def run_retrieval():
+        o = None
+        for i in range(1, 5):
+            o = _retrieve_blend(jnp.asarray(wq + i * 1e-5), wbank, 0.5, 4)
+            o = _retrieve_blend(jnp.asarray(hq + i * 1e-5), hbank, 0.5, 4)
+        jax.block_until_ready(o)
+
+    _retrieve_blend(jnp.asarray(wq), wbank, 0.5, 4)  # warmup
+    jax.block_until_ready(_retrieve_blend(jnp.asarray(hq), hbank, 0.5, 4))
+    ms = measure_device_ms(run_retrieval, name_prefix="jit__retrieve_blend")
+    if ms is not None:
+        ms = ms * 2  # whisper + hubert blends per chunk
+        results["retrieval_blend"] = {
+            "device_ms": round(ms, 2),
+            "rtf": round(audio_seconds / (ms / 1e3), 1),
+            "audio_s_per_call": audio_seconds,
+        }
+
+    # --- silero VAD post-filter network (random weights, same graph) ---
+    try:
+        from whisper_vits_svc_tpu.models.silero_vad import _probs_jit
+
+        n_win = int(audio_seconds * 16000) // 512
+        chunks = rng.standard_normal((n_win, 512)).astype(np.float32) * 0.1
+        params = _random_silero_params(rng)
+        _probs_jit(params, jnp.asarray(chunks), 512)
+
+        def run_vad():
+            o = None
+            for i in range(1, 5):
+                o = _probs_jit(params, jnp.asarray(chunks + i * 1e-5), 512)
+            jax.block_until_ready(o)
+
+        ms = measure_device_ms(run_vad, name_prefix="jit__probs_jit")
+        if ms is not None:
+            results["vad_post_filter"] = {
+                "device_ms": round(ms, 2),
+                "rtf": round(audio_seconds / (ms / 1e3), 1),
+                "audio_s_per_call": audio_seconds,
+            }
+    except Exception:
+        pass
+    return results
+
+
+def _random_silero_params(rng):
+    """Random-weight param tree with the silero-v3 16 kHz architecture that
+    models/silero_vad.py::_probs_jit consumes — the real silero_vad.jit blob
+    may be absent in this image and device time is weight-independent.
+    Tries the real blob first."""
+    import os
+
+    blob = "/root/reference/vad/assets/silero_vad.jit"
+    if os.path.isfile(blob):
+        try:
+            from whisper_vits_svc_tpu.models.silero_vad import load_silero_vad
+
+            return load_silero_vad(blob)
+        except Exception:
+            pass
+
+    def conv_block(cin, cout):
+        p = {
+            "dw_w": rng.standard_normal((cin, 5)).astype(np.float32) * 0.1,
+            "dw_b": np.zeros(cin, np.float32),
+            "pw_w": rng.standard_normal((cout, cin)).astype(np.float32) * 0.1,
+            "pw_b": np.zeros(cout, np.float32),
+        }
+        if cin != cout:
+            p["proj_w"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.1
+            p["proj_b"] = np.zeros(cout, np.float32)
+        return p
+
+    def enc_stage(cin, cout):
+        return {
+            "w": rng.standard_normal((cout, cin)).astype(np.float32) * 0.1,
+            "b": np.zeros(cout, np.float32),
+            "bn_scale": np.ones(cout, np.float32),
+            "bn_bias": np.zeros(cout, np.float32),
+            "block": conv_block(cout, cout),
+        }
+
+    return {
+        "stft_basis": rng.standard_normal((258, 256)).astype(np.float32) * 0.1,
+        "an_filter": (np.ones(7, np.float32) / 7.0),
+        "first": conv_block(258, 16),
+        "enc": [enc_stage(16, 32), enc_stage(32, 32), enc_stage(32, 64)],
+        "enc_post": {
+            "w": rng.standard_normal((64, 64)).astype(np.float32) * 0.1,
+            "b": np.zeros(64, np.float32),
+            "bn_scale": np.ones(64, np.float32),
+            "bn_bias": np.zeros(64, np.float32),
+        },
+        "dec_w": rng.standard_normal((1, 64)).astype(np.float32) * 0.1,
+        "dec_b": np.zeros(1, np.float32),
+        "lstm": [
+            {"w_ih": rng.standard_normal((256, 64)).astype(np.float32) * 0.1,
+             "w_hh": rng.standard_normal((256, 64)).astype(np.float32) * 0.1,
+             "b": np.zeros(256, np.float32)}
+            for _ in range(2)
+        ],
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp

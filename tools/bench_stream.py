@@ -1,0 +1,138 @@
+"""Streaming SVC latency benchmark (VERDICT r3 next-round #3).
+
+The reference declares real-time conversion unsupported (its whisper stage is
+too slow, /root/reference/README.md:22). `infer/stream.py` is this repo's
+beyond-reference streaming runtime; this tool measures its per-block device
+cost at the default geometry (1 s block, 0.5 s left context, full base-config
+model) and derives the worst-case end-to-end block latency:
+
+    latency = block buffering (1 s) + synthesis device ms + extractor device
+              ms for one block (whisper 15 s sliding window recompute +
+              hubert block + crepe block)
+
+Feature-side streaming strategy (also in docs/STREAMING.md): CREPE is
+blockwise-exact (1024-sample windows, 512-sample boundary context); HuBERT
+runs blockwise with carried audio context (its attention window approximates
+the 20 s offline window exactly like synthesis context does); Whisper is the
+honest blocker — its mel floor and attention span 15 s, so the streaming
+path RECOMPUTES a sliding 15 s window each block and keeps only the newest
+block's frames. At 2134x device RTF that recompute costs ~7 ms per 1 s
+block — affordable, which is exactly why the reference's "too slow" verdict
+does not transfer to TPU.
+
+Usage: python tools/bench_stream.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_streaming(block_frames: int = 100, context_frames: int = 50,
+                      n_blocks: int = 8):
+    """-> dict with per-block synthesis device ms + derived latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.infer import pipeline
+    from whisper_vits_svc_tpu.infer.stream import StreamingSvc
+    from whisper_vits_svc_tpu.utils.config import load_config
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    hp = load_config("configs/base.yaml")
+    model = pipeline.build_infer_model(hp)
+    rng = np.random.default_rng(5)
+    t0 = 8
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t0, hp.vits.ppg_dim)), jnp.zeros((1, t0, hp.vits.vec_dim)),
+        jnp.full((1, t0), 200.0), jnp.zeros((1, hp.vits.spk_dim)),
+        jnp.full((1,), t0, jnp.int32),
+        jnp.zeros((1, t0 * hp.data.hop_length, 1)),
+    )["params"]
+    spk = (rng.standard_normal(hp.vits.spk_dim) * 0.1).astype(np.float32)
+
+    stream = StreamingSvc(model, params, spk, hp, block_frames=block_frames,
+                          context_frames=context_frames)
+
+    def block(i):
+        return (
+            (rng.standard_normal((block_frames, hp.vits.ppg_dim)) * 0.1
+             ).astype(np.float32),
+            (rng.standard_normal((block_frames, hp.vits.vec_dim)) * 0.1
+             ).astype(np.float32),
+            rng.uniform(100, 400, block_frames).astype(np.float32),
+        )
+
+    stream.push(*block(0))  # warmup/compile
+
+    def run_calls():
+        for i in range(n_blocks):
+            stream.push(*block(i + 1))
+
+    ms = measure_device_ms(run_calls, name_prefix="jit_run")
+    method = "device_trace"
+    if ms is None:
+        method = "wall_clock_blocked"
+        best = float("inf")
+        for _ in range(3):
+            t_start = time.perf_counter()
+            stream.push(*block(99))
+            best = min(best, time.perf_counter() - t_start)
+        ms = best * 1e3
+
+    block_seconds = block_frames * hp.data.hop_length / hp.data.sampling_rate
+    return {
+        "block_seconds": block_seconds,
+        "context_seconds": context_frames * hp.data.hop_length
+        / hp.data.sampling_rate,
+        "synthesis_device_ms_per_block": round(ms, 2),
+        "synthesis_rtf": round(block_seconds / (ms / 1e3), 1),
+        "method": method,
+    }
+
+
+def main():
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    r = measure_streaming()
+
+    # extractor cost per 1 s block, from the e2e stage measurements:
+    # whisper = one full 15 s window recompute (sliding), hubert/crepe =
+    # per-block shares of their window costs
+    try:
+        from tools.bench_e2e import measure_extractor_stages
+
+        st = measure_extractor_stages()
+        whisper_ms = st["whisper_ppg_bf16"]["device_ms"] / 2  # per 15 s window
+        hubert_ms = st["hubert_vec"]["device_ms"] * (
+            r["block_seconds"] / st["hubert_vec"]["audio_s_per_call"])
+        crepe_ms = st["crepe_f0"]["device_ms"] * (
+            r["block_seconds"] / st["crepe_f0"]["audio_s_per_call"])
+        r["extractor_device_ms_per_block"] = {
+            "whisper_sliding_15s_window": round(whisper_ms, 2),
+            "hubert_block_share": round(hubert_ms, 2),
+            "crepe_block_share": round(crepe_ms, 2),
+        }
+        extract_total = whisper_ms + hubert_ms + crepe_ms
+        r["worst_case_latency_ms"] = round(
+            r["block_seconds"] * 1e3 + r["synthesis_device_ms_per_block"]
+            + extract_total, 1)
+    except Exception as e:
+        print(f"extractor share measurement failed: {e!r}", file=sys.stderr)
+        r["worst_case_latency_ms"] = round(
+            r["block_seconds"] * 1e3 + r["synthesis_device_ms_per_block"], 1)
+
+    print(json.dumps({"metric": "streaming_block_latency", **r}))
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

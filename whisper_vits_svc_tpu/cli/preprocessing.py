@@ -18,6 +18,13 @@ def main(argv=None):
     p.add_argument("--hubert-ckpt", default="hubert_pretrain/hubert-soft-0d54a1f4.pt")
     p.add_argument("--crepe-ckpt", default="crepe_pretrain/full.pth")
     p.add_argument("--speaker-ckpt", default="speaker_pretrain/best_model.pth.tar")
+    p.add_argument("--batch-windows", type=int, default=8,
+                   help="extractor windows batched per device call "
+                        "(packed across utterances)")
+    p.add_argument("--io-threads", type=int, default=4)
+    p.add_argument("--serial", action="store_true",
+                   help="per-utterance serial loop (the round-3 baseline; "
+                        "for A/B measurement only)")
     p.add_argument("--stage", choices=["all", "cdc", "trim"], default="all",
                    help="'cdc'/'trim' run only the VCTK cleanup stages "
                         "(reference prepare/preprocess_cdc.py / preprocess_trim.py) "
@@ -66,7 +73,9 @@ def main(argv=None):
     else:
         print(f"[skip] speaker checkpoint missing: {args.speaker_ckpt}")
 
-    stats = preprocess(args.dataset_raw, args.out, args.files, hp.data, ex)
+    stats = preprocess(args.dataset_raw, args.out, args.files, hp.data, ex,
+                       batch_windows=args.batch_windows,
+                       io_threads=args.io_threads, serial=args.serial)
     print(stats)
     if stats.get("rows"):
         from ..data.preprocess import dataset_dry_run

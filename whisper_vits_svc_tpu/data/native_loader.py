@@ -165,5 +165,12 @@ def load_npy_batch(paths: list[str], max_elems_each: int = 1 << 24,
             out.append(None)
             continue
         shp = tuple(int(s) for s in shapes[4 * i : 4 * i + ndims[i]])
-        out.append(bufs[i][: int(np.prod(shp))].reshape(shp).copy())
+        total = int(np.prod(shp))
+        if total > caps[i]:
+            # declared element count exceeds the buffer: the C side truncated
+            # the data but still reported status 0 — treat as a per-entry
+            # failure like load_npy_native does
+            out.append(None)
+            continue
+        out.append(bufs[i][:total].reshape(shp).copy())
     return out

@@ -1,10 +1,19 @@
 """Unified preprocessing driver — replaces the 10 subprocess stages.
 
 The reference shells out to 10 sequential python processes
-(svc_preprocessing.py:14-25), each reloading its model. Here one driver runs
-idempotent stages over the same `data_svc/` cache layout (skip-if-exists like
-prepare/preprocess_ppg.py:69-70 gives restartability), with the heavy
-extractors batched on-device:
+(svc_preprocessing.py:14-25), each reloading its model, and thread-pools only
+the host stages (prepare/preprocess_a.py:23-30, preprocess_spec.py:36,
+preprocess_f0.py:34). Here one driver runs idempotent stages over the same
+`data_svc/` cache layout (skip-if-exists like prepare/preprocess_ppg.py:69-70
+gives restartability), TPU-shaped (SURVEY.md §7.4):
+
+  * stage-major: each extractor's compiled program stays resident while the
+    whole dataset streams through it,
+  * windows batched ACROSS utterances into fixed-size device batches
+    (ppg_window_batch / vec_window_batch — one compiled program per
+    extractor for the entire run),
+  * host IO (wav reads, npy writes) overlapped with device compute via a
+    producer thread (data/prefetch.py) and a writer pool.
 
   dataset_raw/<speaker>/*.wav
     -> data_svc/waves-16k/<spk>/*.wav      (peak-0.6 int16, preprocess_a.py)
@@ -22,13 +31,17 @@ from __future__ import annotations
 
 import os
 import random
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.stft import linear_spectrogram
+from ..ops.stft import linear_spectrogram, stft_magnitude
 from ..utils.audio_io import load_wav, save_wav
+from .prefetch import prefetch
 
 
 def list_raw_wavs(dataset_raw: str) -> dict[str, list[str]]:
@@ -61,6 +74,129 @@ def _ensure(path):
     return path
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _spec_program(y, n_fft, hop, win):
+    """Linear-spectrogram frames of an ALREADY vits-prepadded, zero-extended
+    row [1, Lb] (reflect pad happens on host so the bucket's zero padding
+    cannot change the reflection — real frames match linear_spectrogram of
+    the natural length exactly)."""
+    return stft_magnitude(y, n_fft, hop, win, center=False, mag_eps=1e-6)
+
+
+def compute_spec_bucketed(a32: np.ndarray, n_fft: int, hop: int, win: int,
+                          bucket_samples: int = 128000) -> np.ndarray:
+    """[T] 32 kHz audio -> [frames, n_fft//2+1], one compiled program per
+    4 s length bucket instead of one per utterance length (coarse buckets:
+    the spec is one small matmul, a fresh compile through the TPU tunnel is
+    orders of magnitude more expensive than 4 s of padded frames)."""
+    pad = int((n_fft - hop) / 2)
+    y = np.pad(a32.astype(np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    lb = -(-len(y) // bucket_samples) * bucket_samples
+    y = np.pad(y, (0, lb - len(y)))
+    spec = np.asarray(_spec_program(jnp.asarray(y)[None], n_fft, hop, win))[0]
+    return spec[:n_frames].astype(np.float32)
+
+
+def _cut_windows(audio: np.ndarray, window_samples: int):
+    """[(row [window_samples] zero-padded, real_len)] — the reference's
+    window walk (whisper/inference.py:36-52, hubert/inference.py:29-48:
+    a window starts at every multiple of the window size below len)."""
+    out = []
+    for s in range(0, len(audio), window_samples):
+        seg = audio[s : s + window_samples]
+        row = np.zeros(window_samples, np.float32)
+        row[: len(seg)] = seg
+        out.append((row, len(seg)))
+    return out
+
+
+def _window_buckets(window_samples: int) -> list[int]:
+    """Static row-size buckets {w/8, w/4, w/2, w} (rounded up to the 320-hop
+    grid): a short utterance or tail runs in the smallest program that fits
+    instead of padding to the full window — with length-masked extractors the
+    result is the same, the FLOPs are 2-8x fewer."""
+    out = []
+    for div in (8, 4, 2, 1):
+        b = -(-window_samples // div // 320) * 320
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
+def _run_window_stage(pending, window_samples, batch_windows, run_batch,
+                      frames_of_len, feat_dim, log, label):
+    """Stream utterances through a handful of fixed-shape batched device
+    programs (one per size bucket).
+
+    pending: [(a16_path, out_path)]. A producer thread loads audio and cuts
+    windows; rows are packed ACROSS utterance boundaries into
+    [batch_windows, bucket] batches (bucket = smallest of _window_buckets
+    that fits the row); per-row outputs are truncated to
+    frames_of_len(real_len) and reassembled per utterance. Device batches and
+    host IO overlap (prefetch), so the device never waits on a wav read."""
+    if not pending:
+        return
+
+    buckets = _window_buckets(window_samples)
+
+    def rows():
+        for a16_path, out_path in pending:
+            audio, _ = load_wav(a16_path)
+            cuts = _cut_windows(audio, window_samples)
+            utt = {"path": out_path, "n": len(cuts), "parts": [None] * len(cuts),
+                   "done": 0}
+            if not cuts:
+                yield (utt, None, None, None)
+                continue
+            for wi, (row, ln) in enumerate(cuts):
+                yield (utt, wi, row, ln)
+
+    writer = ThreadPoolExecutor(max_workers=2)
+    done_utts = 0
+
+    def finish(utt):
+        nonlocal done_utts
+        feats = (np.concatenate(utt["parts"], axis=0) if utt["parts"]
+                 else np.zeros((0, feat_dim), np.float32))
+        writer.submit(np.save, utt["path"], feats, allow_pickle=False)
+        done_utts += 1
+
+    buf = {b: np.zeros((batch_windows, b), np.float32) for b in buckets}
+    lens = {b: np.full((batch_windows,), b, np.int64) for b in buckets}
+    slots: dict[int, list[tuple[dict, int]]] = {b: [] for b in buckets}
+
+    def flush(b):
+        sl = slots[b]
+        if not sl:
+            return
+        out = run_batch(buf[b], lens[b])
+        for i, (utt, wi) in enumerate(sl):
+            utt["parts"][wi] = np.asarray(out[i, : frames_of_len(int(lens[b][i])), :])
+            utt["done"] += 1
+            if utt["done"] == utt["n"]:
+                finish(utt)
+        sl.clear()
+        buf[b][:] = 0.0
+        lens[b][:] = b
+
+    for utt, wi, row, ln in prefetch(rows(), depth=2 * batch_windows):
+        if wi is None:  # zero-length audio
+            finish(utt)
+            continue
+        b = next(bk for bk in buckets if ln <= bk)
+        i = len(slots[b])
+        buf[b][i, :ln] = row[:ln]
+        lens[b][i] = ln
+        slots[b].append((utt, wi))
+        if len(slots[b]) == batch_windows:
+            flush(b)
+    for b in buckets:
+        flush(b)
+    writer.shutdown(wait=True)
+    log(f"{label}: {done_utts} utterances")
+
+
 def preprocess(
     dataset_raw: str,
     out_dir: str = "data_svc",
@@ -70,7 +206,14 @@ def preprocess(
     valid_count: int = 10,
     seed: int = 1234,
     progress: bool = True,
+    batch_windows: int = 8,
+    io_threads: int = 4,
+    serial: bool = False,
+    hubert_window_seconds: int = 20,
 ) -> dict:
+    """Stage-major batched driver (default) or the round-3 per-utterance
+    serial loop (serial=True — kept as the measured A/B baseline for
+    tools/bench_prep.py)."""
     extractors = extractors or Extractors()
     speakers = list_raw_wavs(dataset_raw)
     stats = {"items": 0, "skipped": 0}
@@ -88,10 +231,159 @@ def preprocess(
                     "speaker", "specs"]:
             _ensure(os.path.join(out_dir, sub, spk))
         _ensure(os.path.join(out_dir, "singer"))
+        stats["items"] += len(wavs)
 
+    if serial:
+        _preprocess_serial(speakers, out_dir, extractors, sr32, n_fft, hop,
+                           win, seed, log, hubert_window_seconds)
+    else:
+        _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop,
+                           win, seed, log, batch_windows, io_threads,
+                           hubert_window_seconds)
+
+    # per-speaker average embedding (prepare/preprocess_speaker_ave.py)
+    for spk, wavs in speakers.items():
+        singer_path = os.path.join(out_dir, "singer", spk + ".spk.npy")
+        spk_dir = os.path.join(out_dir, "speaker", spk)
+        embeds = [
+            np.load(os.path.join(spk_dir, f))
+            for f in sorted(os.listdir(spk_dir)) if f.endswith(".spk.npy")
+        ]
+        if embeds and not os.path.isfile(singer_path):
+            np.save(singer_path, np.mean(embeds, axis=0), allow_pickle=False)
+        log(f"speaker {spk}: {len(wavs)} items done")
+
+    rows = build_filelists(out_dir, files_dir, valid_count, seed)
+    stats["rows"] = len(rows)
+    return stats
+
+
+def _stage_paths(speakers, out_dir):
+    """[(spk, name, wav_path, p16, p32)] for every raw item."""
+    out = []
+    for spk, wavs in speakers.items():
         for wav_path in wavs:
             name = os.path.splitext(os.path.basename(wav_path))[0]
-            stats["items"] += 1
+            out.append((
+                spk, name, wav_path,
+                os.path.join(out_dir, "waves-16k", spk, name + ".wav"),
+                os.path.join(out_dir, "waves-32k", spk, name + ".wav"),
+            ))
+    return out
+
+
+def _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop, win,
+                       seed, log, batch_windows, io_threads,
+                       hubert_window_seconds=20):
+    items = _stage_paths(speakers, out_dir)
+
+    # ---- stage 1: resample, thread-pooled host work (preprocess_a.py:23-30)
+    def _resample_one(item):
+        _spk, _name, wav_path, p16, p32 = item
+        if os.path.isfile(p16) and os.path.isfile(p32):
+            return
+        from ..utils.audio_io import resample
+
+        audio, src_sr = load_wav(wav_path)
+        save_wav(p16, resample(audio, src_sr, 16000), 16000, peak_norm=0.6)
+        save_wav(p32, resample(audio, src_sr, sr32), sr32, peak_norm=0.6)
+
+    with ThreadPoolExecutor(max_workers=io_threads) as pool:
+        list(pool.map(_resample_one, items))
+    log(f"resample: {len(items)} items")
+
+    def _pending(sub, suffix):
+        return [
+            (p16, os.path.join(out_dir, sub, spk, name + suffix))
+            for spk, name, _w, p16, _p32 in items
+            if not os.path.isfile(os.path.join(out_dir, sub, spk, name + suffix))
+        ]
+
+    # ---- stage 2: crepe F0 (per-utterance trellis; IO prefetched)
+    if extractors.crepe is not None:
+        from ..models.crepe import compute_f0
+
+        m, p = extractors.crepe
+        pend = _pending("pitch", ".pit.npy")
+
+        def _load(pair):
+            return pair[1], load_wav(pair[0])[0]
+
+        n = 0
+        for pit_path, a16 in prefetch(map(_load, pend), depth=4):
+            np.save(pit_path, compute_f0(m, p, a16, np.random.default_rng(seed)),
+                    allow_pickle=False)
+            n += 1
+        log(f"pitch: {n} utterances")
+
+    # ---- stage 3: whisper PPG, windows batched across utterances
+    if extractors.whisper is not None:
+        from ..models.whisper import (
+            PPG_HOP, WINDOW_SAMPLES, ppg_window_batch,
+        )
+
+        m, p = extractors.whisper
+        _run_window_stage(
+            _pending("whisper", ".ppg.npy"), WINDOW_SAMPLES, batch_windows,
+            lambda rows, lens: ppg_window_batch(m, p, rows, lens, rng=None),
+            lambda ln: ln // PPG_HOP, m.n_state, log, "whisper ppg",
+        )
+
+    # ---- stage 4: hubert soft units, windows batched across utterances
+    if extractors.hubert is not None:
+        from ..models.hubert import hubert_num_frames, vec_window_batch
+
+        m, p = extractors.hubert
+        _run_window_stage(
+            _pending("hubert", ".vec.npy"), hubert_window_seconds * 16000,
+            batch_windows,
+            lambda rows, lens: vec_window_batch(m, p, rows, lens),
+            hubert_num_frames, 256, log, "hubert vec",
+        )
+
+    # ---- stage 5: speaker d-vectors (one static [10, 250, 80] program)
+    if extractors.speaker is not None:
+        from ..models.speaker_encoder import compute_embedding
+
+        m, p = extractors.speaker
+        pend = _pending("speaker", ".spk.npy")
+
+        def _load_s(pair):
+            return pair[1], load_wav(pair[0])[0]
+
+        n = 0
+        for spk_path, a16 in prefetch(map(_load_s, pend), depth=4):
+            np.save(spk_path, compute_embedding(m, p, a16), allow_pickle=False)
+            n += 1
+        log(f"speaker embed: {n} utterances")
+
+    # ---- stage 6: linear specs (bucketed static-shape program, prefetched IO)
+    pend_spec = [
+        (p32, os.path.join(out_dir, "specs", spk, name + ".spec.npy"))
+        for spk, name, _w, _p16, p32 in items
+        if not os.path.isfile(os.path.join(out_dir, "specs", spk,
+                                           name + ".spec.npy"))
+    ]
+
+    def _load_32(pair):
+        return pair[1], load_wav(pair[0])[0]
+
+    n = 0
+    for spec_path, a32 in prefetch(map(_load_32, pend_spec), depth=4):
+        np.save(spec_path, compute_spec_bucketed(a32, n_fft, hop, win),
+                allow_pickle=False)
+        n += 1
+    log(f"specs: {n} utterances")
+
+
+def _preprocess_serial(speakers, out_dir, extractors, sr32, n_fft, hop, win,
+                       seed, log, hubert_window_seconds=20):
+    """Round-3 per-utterance loop: every stage for one wav before the next
+    wav. Kept verbatim as the A/B baseline tools/bench_prep.py measures the
+    staged driver against."""
+    for spk, wavs in speakers.items():
+        for wav_path in wavs:
+            name = os.path.splitext(os.path.basename(wav_path))[0]
 
             p16 = os.path.join(out_dir, "waves-16k", spk, name + ".wav")
             p32 = os.path.join(out_dir, "waves-32k", spk, name + ".wav")
@@ -126,7 +418,10 @@ def preprocess(
                 from ..models.hubert import pred_vec
 
                 m, p = extractors.hubert
-                np.save(vec_path, pred_vec(m, p, a16), allow_pickle=False)
+                np.save(vec_path,
+                        pred_vec(m, p, a16,
+                                 window_seconds=hubert_window_seconds),
+                        allow_pickle=False)
 
             spk_path = os.path.join(out_dir, "speaker", spk, name + ".spk.npy")
             if extractors.speaker is not None and not os.path.isfile(spk_path):
@@ -141,21 +436,6 @@ def preprocess(
                     linear_spectrogram(jnp.asarray(a32)[None], n_fft, hop, win)
                 )[0]
                 np.save(spec_path, spec.astype(np.float32), allow_pickle=False)
-
-        # per-speaker average embedding (prepare/preprocess_speaker_ave.py)
-        singer_path = os.path.join(out_dir, "singer", spk + ".spk.npy")
-        embeds = [
-            np.load(os.path.join(out_dir, "speaker", spk, f))
-            for f in sorted(os.listdir(os.path.join(out_dir, "speaker", spk)))
-            if f.endswith(".spk.npy")
-        ]
-        if embeds and not os.path.isfile(singer_path):
-            np.save(singer_path, np.mean(embeds, axis=0), allow_pickle=False)
-        log(f"speaker {spk}: {len(wavs)} items done")
-
-    rows = build_filelists(out_dir, files_dir, valid_count, seed)
-    stats["rows"] = len(rows)
-    return stats
 
 
 def cut_direct_content(audio: np.ndarray, n_fft: int = 1024, hop: int = 256) -> np.ndarray:

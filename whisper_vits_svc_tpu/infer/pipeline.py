@@ -11,6 +11,9 @@ runs through exactly ONE compiled program regardless of its duration.
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache, partial
+
 import numpy as np
 
 import jax
@@ -22,6 +25,92 @@ from ..train import checkpoint as ckpt
 from ..utils.config import Config
 
 MAX_WAV_VALUE = 32768.0
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _source_program(f0, hop, sr):
+    from ..nn.nsf import source_hn_nsf
+
+    return source_hn_nsf(f0, hop, sr, rng=None)
+
+
+def pitch2source_bucketed(model: SynthesizerInfer, pit: np.ndarray,
+                          bucket_frames: int = 1000) -> np.ndarray:
+    """Whole-utterance excitation through ONE jitted program per length
+    bucket (the eager model.pitch2source dispatches per-op and would retrace
+    per utterance length). Zero-padding the f0 tail is exact for the real
+    prefix: the phase cumsum is a prefix scan and f0=0 frames emit nothing
+    under rng=None."""
+    t = len(pit)
+    tp = max(bucket_frames, -(-t // bucket_frames) * bucket_frames)
+    f0 = np.zeros((1, tp), np.float32)
+    f0[0, :t] = pit
+    hop = int(math.prod(model.upsample_rates))
+    src = _source_program(jnp.asarray(f0), hop, model.sampling_rate)
+    return np.asarray(src)[:, : t * hop]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _chunk_program(model: SynthesizerInfer, noise_scale, params, ppg_c, vec_c,
+                   pit_c, spk_c, lengths, source_c, rngs):
+    """[N, ...] stacked chunks -> [N, chunk_max*hop, 1] waveforms. Module-
+    level jit (model static): repeated svc_infer calls — chunk batches,
+    serving loops, benches — reuse one compiled program instead of
+    re-tracing through a per-call closure."""
+    dt = jax.tree.leaves(params)[0].dtype
+
+    def one(ppg_1, vec_1, pit_1, length_1, source_1, rng):
+        out = model.apply(
+            {"params": params},
+            ppg_1[None].astype(dt), vec_1[None].astype(dt), pit_1[None],
+            spk_c.astype(dt), length_1[None], source_1[None].astype(dt),
+            noise_scale, rngs={"noise": rng},
+        )
+        return out[0].astype(jnp.float32)
+
+    return jax.vmap(one)(ppg_c, vec_c, pit_c, lengths, source_c, rngs)
+
+
+@lru_cache(maxsize=8)
+def _mesh_chunk_program(model: SynthesizerInfer, noise_scale, mesh):
+    """shard_map variant of _chunk_program over the mesh's data axis (cached
+    per (model, noise_scale, mesh))."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(params, ppg_c, vec_c, pit_c, spk_c, lengths, source_c, rngs):
+        dt = jax.tree.leaves(params)[0].dtype
+
+        def one(ppg_1, vec_1, pit_1, length_1, source_1, rng):
+            out = model.apply(
+                {"params": params},
+                ppg_1[None].astype(dt), vec_1[None].astype(dt), pit_1[None],
+                spk_c.astype(dt), length_1[None], source_1[None].astype(dt),
+                noise_scale, rngs={"noise": rng},
+            )
+            return out[0].astype(jnp.float32)
+
+        return jax.vmap(one)(ppg_c, vec_c, pit_c, lengths, source_c, rngs)
+
+    # shard_map (not sharded-jit) so the per-device body is a plain
+    # single-chunk program: Pallas kernels (ops/pallas_snake.py) run as-is
+    # on each chip's local chunk instead of forcing the jnp fallback
+    # (pallas_call does not auto-partition under pjit — VERDICT r1 weak #4).
+    # Replication checking off: pallas_call has no replication rule; the
+    # kwarg is check_vma on jax>=0.9, check_rep before.
+    rep, dat = P(), P(pmesh.DATA_AXIS)
+    _ckw = ("check_vma" if "check_vma"
+            in inspect.signature(shard_map).parameters else "check_rep")
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, dat, dat, dat, rep, dat, dat, dat),
+        out_specs=dat, **{_ckw: False},
+    ))
 
 
 def build_infer_model(hp: Config, fast_edges: bool = False,
@@ -162,58 +251,16 @@ def svc_infer(
     ppg = np.asarray(ppg, np.float32)[:len_min]
     spk = np.asarray(spk, np.float32)[None, :]
 
-    source = np.asarray(
-        model.pitch2source(jnp.asarray(pit)[None, :])
-    )  # [1, S, 1], whole utterance
+    source = pitch2source_bucketed(model, pit)  # [1, S, 1], whole utterance
 
     chunk_max = out_chunk + 2 * hop_frame
     if mesh is not None and chunk_batch == 1:
         chunk_batch = int(mesh.shape[pmesh.DATA_AXIS])
 
-    def _cast(x):
-        return x.astype(compute_dtype) if compute_dtype is not None else x
-
-    def _run_chunks(params, ppg_c, vec_c, pit_c, spk_c, lengths, source_c, rngs):
-        """[N, ...] stacked chunks -> [N, chunk_max*hop, 1] waveforms."""
-
-        def one(ppg_1, vec_1, pit_1, length_1, source_1, rng):
-            out = model.apply(
-                {"params": params},
-                _cast(ppg_1[None]), _cast(vec_1[None]), pit_1[None],
-                _cast(spk_c), length_1[None], _cast(source_1[None]),
-                noise_scale, rngs={"noise": rng},
-            )
-            return out[0].astype(jnp.float32)
-
-        return jax.vmap(one)(ppg_c, vec_c, pit_c, lengths, source_c, rngs)
-
     if mesh is not None:
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        # shard_map (not sharded-jit) so the per-device body is a plain
-        # single-chunk program: Pallas kernels (ops/pallas_snake.py) run
-        # as-is on each chip's local chunk instead of forcing the jnp
-        # fallback (Pallas calls do not auto-partition under pjit —
-        # VERDICT r1 weak #4). check_rep off: pallas_call is not
-        # replication-rule aware.
-        rep, dat = P(), P(pmesh.DATA_AXIS)
-        import inspect
-
-        # replication checking must be off (pallas_call has no rep rule);
-        # the kwarg is check_vma on jax>=0.9, check_rep before
-        _ckw = ("check_vma" if "check_vma"
-                in inspect.signature(shard_map).parameters else "check_rep")
-        run_chunks = jax.jit(shard_map(
-            _run_chunks, mesh=mesh,
-            in_specs=(rep, dat, dat, dat, rep, dat, dat, dat),
-            out_specs=dat, **{_ckw: False},
-        ))
+        run_chunks = _mesh_chunk_program(model, noise_scale, mesh)
     else:
-        run_chunks = jax.jit(_run_chunks)
+        run_chunks = partial(_chunk_program, model, noise_scale)
 
     plan = _chunk_plan(len_min, out_chunk, hop_frame)
     base_key = jax.random.PRNGKey(seed)

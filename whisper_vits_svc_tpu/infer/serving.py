@@ -10,7 +10,7 @@ against framework drift.
 
     export_synthesis(params, hp, "svc_serving.bin", chunk_frames=2520)
     fn = load_synthesis("svc_serving.bin")
-    wav = fn(ppg, vec, pit, spk, lengths, source)   # jittable
+    wav = fn(ppg, vec, pit, spk, lengths, source, seed)   # jittable
 
 The artifact is shape-specialized to one chunk geometry (static shapes are
 the TPU contract; the chunked pipeline always pads to `out_chunk +
@@ -26,24 +26,26 @@ from jax import export as jax_export
 
 
 def build_synthesis_fn(params, hp, compute_dtype=None):
-    """-> f(ppg, vec, pit, spk, lengths, source) with weights captured.
+    """-> f(ppg, vec, pit, spk, lengths, source, seed) with weights captured.
 
-    Noise is baked deterministic (fixed key) — a serving artifact must be
-    reproducible; the interactive CLI path keeps per-chunk rngs. Pallas
-    kernels are left off: a pallas_call inside the serialized module would
-    pin it to one TPU generation."""
+    `seed` (int32 scalar) drives the prior-noise draw, so a server varies the
+    noise per chunk exactly like the CLI path's per-chunk rngs — same seed ->
+    reproducible output (ADVICE r3: a baked fixed key repeated the identical
+    noise tensor across every chunk of an utterance). Pallas kernels are left
+    off: a pallas_call inside the serialized module would pin it to one TPU
+    generation."""
     from .pipeline import build_infer_model
 
     model = build_infer_model(hp, pallas_snake=False)
     if compute_dtype is not None:
         params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params)
 
-    def fn(ppg, vec, pit, spk, lengths, source):
+    def fn(ppg, vec, pit, spk, lengths, source, seed):
         cast = (lambda x: x.astype(compute_dtype)) if compute_dtype else (lambda x: x)
         out = model.apply(
             {"params": params},
             cast(ppg), cast(vec), pit, cast(spk), lengths, cast(source),
-            rngs={"noise": jax.random.PRNGKey(0)},
+            rngs={"noise": jax.random.PRNGKey(seed)},
         )
         return out.astype(jnp.float32)
 
@@ -73,6 +75,7 @@ def export_synthesis(
         jax.ShapeDtypeStruct((b, hp.vits.spk_dim), jnp.float32),
         jax.ShapeDtypeStruct((b,), jnp.int32),
         jax.ShapeDtypeStruct((b, t * hop, 1), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),  # per-chunk noise seed
     )
     return export_jitted(fn, args, path, platforms)
 
