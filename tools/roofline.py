@@ -1,0 +1,446 @@
+"""Roofline audit: is each hot component at its hardware bound? (VERDICT r3 #2)
+
+BASELINE.md's kernel-efficiency target ("speed-of-light") was asserted from
+trace-attributed milliseconds but never checked against arithmetic. This tool
+closes that: for each traced cost center of the train step and the synthesis
+chunk it
+
+  1. counts analytic FLOPs and minimal HBM traffic from the architecture,
+  2. measures the component standalone (xprof device trace, perturbed
+     inputs),
+  3. calibrates the machine's ACHIEVABLE peaks in the same session (big
+     matmul -> MXU FLOP/s; elementwise FMA chain -> VPU FLOP/s; big copy ->
+     HBM GB/s) instead of quoting datasheet numbers through a shared tunnel,
+  4. reports bound = max(FLOPs/peak_for_its_unit, bytes/BW) and the achieved
+     fraction measured/bound.
+
+Components: generator decoder fwd (infer), snake stage standalone, MRD / MSD
+/ MPD fwd+bwd (train shapes), prior encoder, flow, posterior WN.
+Reference cost centers: /root/reference/vits_extend/train.py:189-247.
+
+Usage: python tools/roofline.py [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+HOP = 320
+SR = 32000
+
+
+# --------------------------------------------------------------- calibration
+
+def calibrate():
+    """Measured achievable peaks on THIS device, same session."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    peaks = {}
+
+    n = 4096
+    a = jnp.ones((n, n), jnp.float32)
+    b = jnp.ones((n, n), jnp.float32)
+
+    @jax.jit
+    def mm(a, b):
+        return a @ b
+
+    mm(a, b).block_until_ready()
+
+    def run_mm():
+        o = None
+        for i in range(4):
+            o = mm(a + i * 1e-6, b)
+        o.block_until_ready()
+
+    ms = measure_device_ms(run_mm, "jit_mm")
+    if ms:
+        peaks["mxu_tflops"] = 2 * n**3 / (ms / 1e3) / 1e12
+
+    m = 64 * 1024 * 1024  # 256 MB f32
+    x = jnp.ones((m,), jnp.float32)
+
+    @jax.jit
+    def fma(x):
+        # 16 dependent FMAs per element, one read + one write
+        y = x
+        for _ in range(16):
+            y = y * 1.0000001 + 1e-7
+        return y
+
+    fma(x).block_until_ready()
+
+    def run_fma():
+        o = None
+        for i in range(4):
+            o = fma(x + i * 1e-6)
+        o.block_until_ready()
+
+    ms = measure_device_ms(run_fma, "jit_fma")
+    if ms:
+        peaks["vpu_tflops"] = 16 * 2 * m / (ms / 1e3) / 1e12
+
+    @jax.jit
+    def copy(x):
+        return x + 1.0
+
+    copy(x).block_until_ready()
+
+    def run_copy():
+        o = None
+        for i in range(4):
+            o = copy(x + i * 1e-6)
+        o.block_until_ready()
+
+    ms = measure_device_ms(run_copy, "jit_copy")
+    if ms:
+        peaks["hbm_gbs"] = 2 * 4 * m / (ms / 1e3) / 1e9
+    return peaks
+
+
+# ----------------------------------------------------------- FLOP accounting
+
+def conv1d_flops(t, cin, cout, k, groups=1):
+    return 2.0 * t * cin * cout * k / groups
+
+
+def generator_flops_bytes(t_frames, hp):
+    """NSF-BigVGAN decoder forward at infer shapes: FLOPs + minimal HBM
+    bytes (each stage tensor read+written once — the fusion-perfect floor)."""
+    ups = list(hp.gen.upsample_rates)
+    ch0 = hp.gen.upsample_initial_channel
+    flops = 0.0
+    bytes_ = 0.0
+    t = t_frames
+    cin = hp.gen.upsample_input
+    flops += conv1d_flops(t, cin, ch0, 7)
+    bytes_ += 4 * t * (cin + ch0)
+    ch = ch0
+    kernels = list(hp.gen.resblock_kernel_sizes)
+    dils = [list(d) for d in hp.gen.resblock_dilation_sizes]
+    snake_taps = 24  # polyphase up2+down2 FIR MACs per sample
+    snake_extra = 12  # sin/exp/divide transcendental budget per sample
+    for i, r in enumerate(ups):
+        cout = ch // 2
+        k_up = hp.gen.upsample_kernel_sizes[i]
+        t_out = t * r
+        flops += conv1d_flops(t_out, ch, cout, k_up) / r  # convT: K taps over t_in per phase
+        bytes_ += 4 * (t * ch + t_out * cout)
+        # noise conv (strided source injection)
+        stride = int(np.prod(ups[i + 1 :]))
+        k_n = stride * 2 if stride > 1 else 1
+        flops += conv1d_flops(t_out, 1, cout, k_n)
+        # 3 AMP blocks x (3 dilated + 3 plain convs), each preceded by snake
+        n_res = len(kernels)
+        for kk, dd in zip(kernels, dils):
+            for _ in dd:
+                flops += 2 * conv1d_flops(t_out, cout, cout, kk)
+                flops += 2 * cout * t_out * 2 * (snake_taps + snake_extra)
+                bytes_ += 4 * 6 * t_out * cout  # 2 convs + 2 snakes in/out (fused floor)
+        t = t_out
+        ch = cout
+    flops += 2 * ch * t * 2 * (snake_taps + snake_extra)  # post snake
+    flops += conv1d_flops(t, ch, 1, 7)
+    bytes_ += 4 * t * (ch + 1)
+    return flops, bytes_
+
+
+def snake_stage_flops_bytes(c, t):
+    taps, extra = 24, 12
+    return 2.0 * c * t * 2 * (taps + extra), 4.0 * 2 * c * t
+
+
+def mrd_flops_bytes(t_samples, resolutions, train=True):
+    """DiscriminatorR stacks: 5 conv2d (3x9) with freq stride (1,2,..) on
+    [frames, bins] magnitude; x3 for fwd+bwd when train."""
+    flops = 0.0
+    bytes_ = 0.0
+    for n_fft, hop, _win in resolutions:
+        frames = t_samples // hop
+        bins = n_fft // 2 + 1
+        chans = [(1, 32, 1), (32, 32, 2), (32, 32, 2), (32, 32, 2), (32, 32, 1)]
+        b = bins
+        for cin, cout, stride in chans:
+            flops += 2.0 * frames * (b // stride) * cin * cout * 3 * 9
+            bytes_ += 4 * frames * (b * cin + (b // stride) * cout)
+            b = b // stride
+        flops += 2.0 * frames * b * 32 * 1 * 3 * 3
+        # STFT front-end: framed matmul-DFT
+        flops += 2.0 * frames * n_fft * (n_fft + 2)
+        bytes_ += 4 * frames * n_fft
+    if train:
+        flops *= 3.0  # fwd on fake+real... handled by caller; bwd ~2x fwd
+        bytes_ *= 3.0
+    return flops, bytes_
+
+
+def msd_flops_bytes(t_samples, train=True):
+    specs = [(1, 16, 15, 1, 1), (16, 64, 41, 4, 4), (64, 256, 41, 4, 16),
+             (256, 1024, 41, 4, 64), (1024, 1024, 41, 4, 256),
+             (1024, 1024, 5, 1, 1)]
+    flops = 0.0
+    bytes_ = 0.0
+    t = t_samples
+    for cin, cout, k, s, g in specs:
+        flops += 2.0 * (t // s) * cin * cout * k / g
+        bytes_ += 4 * (t * cin + (t // s) * cout)
+        t = t // s
+    flops += 2.0 * t * 1024 * 1 * 3
+    if train:
+        flops *= 3.0
+        bytes_ *= 3.0
+    return flops, bytes_
+
+
+def mpd_flops_bytes(t_samples, periods, train=True):
+    flops = 0.0
+    bytes_ = 0.0
+    for p in periods:
+        tp = -(-t_samples // p)
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        h = tp
+        for cin, cout in chans:
+            flops += 2.0 * (h // 3) * p * cin * cout * 5 / 1
+            bytes_ += 4 * p * (h * cin + (h // 3) * cout)
+            h = h // 3
+        flops += 2.0 * h * p * 1024 * 1024 * 5
+        flops += 2.0 * h * p * 1024 * 1 * 3
+    if train:
+        flops *= 3.0
+        bytes_ *= 3.0
+    return flops, bytes_
+
+
+def encoder_flops_bytes(t_frames, hp):
+    """Prior encoder: pre/hub convs (k=5) + 6-layer rel-pos transformer +
+    proj."""
+    h = hp.vits.hidden_channels
+    f = hp.vits.filter_channels
+    flops = conv1d_flops(t_frames, hp.vits.ppg_dim, h, 5)
+    flops += conv1d_flops(t_frames, hp.vits.vec_dim, h, 5)
+    layers = hp.vits.get("enc_p_layers", 6)
+    # attention: qkv+out projections + 2 T^2 matmuls (+rel-pos ~ +50%)
+    flops += layers * (4 * 2.0 * t_frames * h * h
+                       + 2 * 2.0 * t_frames * t_frames * h * 1.5
+                       + 2 * conv1d_flops(t_frames, h, f, 3))
+    flops += conv1d_flops(t_frames, h, 2 * hp.vits.inter_channels, 1)
+    bytes_ = 4.0 * t_frames * h * layers * 8
+    return flops, bytes_
+
+
+def wn_flops_bytes(t_frames, hp, n_layers, half=False):
+    h = hp.vits.hidden_channels
+    c = hp.vits.inter_channels // (2 if half else 1)
+    flops = conv1d_flops(t_frames, c, h, 1)
+    for _ in range(n_layers):
+        flops += conv1d_flops(t_frames, h, 2 * h, 5)
+        flops += conv1d_flops(t_frames, h, 2 * h, 1)
+    flops += conv1d_flops(t_frames, h, c * 2, 1)
+    bytes_ = 4.0 * t_frames * h * n_layers * 6
+    return flops, bytes_
+
+
+# -------------------------------------------------------------- measurement
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    from whisper_vits_svc_tpu.utils.config import load_config
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    hp = load_config("configs/base.yaml")
+    rng = np.random.default_rng(0)
+    peaks = calibrate()
+    print(f"calibrated peaks: {peaks}", flush=True)
+    mxu = peaks.get("mxu_tflops", 160.0) * 1e12
+    vpu = peaks.get("vpu_tflops", 3.0) * 1e12
+    bw = peaks.get("hbm_gbs", 700.0) * 1e9
+
+    rows = []
+
+    def bench(name, fn, args_fn, flops, bytes_, unit):
+        jfn = jax.jit(fn)
+        jax.block_until_ready(jfn(*args_fn(0)))
+
+        def run():
+            o = None
+            for i in range(1, 5):
+                o = jfn(*args_fn(i))
+            jax.block_until_ready(o)
+
+        ms = measure_device_ms(run, f"jit_{fn.__name__}")
+        if ms is None:
+            print(f"{name}: no device trace (CPU?) — skipped", flush=True)
+            return
+        peak = vpu if unit == "vpu" else mxu
+        t_compute = flops / peak * 1e3
+        t_memory = bytes_ / bw * 1e3
+        bound = max(t_compute, t_memory)
+        rows.append({
+            "component": name, "measured_ms": round(ms, 3),
+            "gflops": round(flops / 1e9, 2),
+            "mbytes": round(bytes_ / 1e6, 1),
+            "bound_ms": round(bound, 3),
+            "bound_by": "compute" if t_compute >= t_memory else "memory",
+            "unit": unit,
+            "achieved_fraction": round(bound / ms, 3),
+        })
+        print(f"{name}: {ms:.2f} ms measured, bound {bound:.2f} ms "
+              f"({rows[-1]['bound_by']}/{unit}) -> {bound / ms:.0%}", flush=True)
+
+    # ---------------- synthesis-side (10 s chunk, 1000 frames) ----------------
+    t_frames = 1000
+    t_samp = t_frames * HOP
+
+    from whisper_vits_svc_tpu.models.generator import Generator
+
+    gen = Generator(
+        upsample_input=hp.gen.upsample_input,
+        upsample_rates=tuple(hp.gen.upsample_rates),
+        upsample_kernel_sizes=tuple(hp.gen.upsample_kernel_sizes),
+        upsample_initial_channel=hp.gen.upsample_initial_channel,
+        resblock_kernel_sizes=tuple(hp.gen.resblock_kernel_sizes),
+        resblock_dilation_sizes=tuple(tuple(d) for d in hp.gen.resblock_dilation_sizes),
+        spk_dim=hp.vits.spk_dim,
+        pallas_snake=jax.default_backend() == "tpu",
+    )
+    z = jnp.asarray(rng.standard_normal((1, t_frames, hp.gen.upsample_input)),
+                    jnp.float32) * 0.1
+    spk = jnp.asarray(rng.standard_normal((1, hp.vits.spk_dim)), jnp.float32) * 0.1
+    src = jnp.asarray(rng.standard_normal((1, t_samp, 1)), jnp.float32) * 0.1
+    gp = jax.jit(gen.init)(jax.random.PRNGKey(0), spk, z,
+                           har_source=src)["params"]
+
+    def decoder_infer(p, z, spk, src):
+        return gen.apply({"params": p}, spk, z, har_source=src)
+
+    fl, by = generator_flops_bytes(t_frames, hp)
+    bench("decoder_fwd_10s(infer)", decoder_infer,
+          lambda i: (gp, z + i * 1e-5, spk, src), fl, by, "vpu")
+
+    if jax.default_backend() == "tpu":
+        from whisper_vits_svc_tpu.ops.pallas_snake import snake_alias_cm_pallas \
+            as snake_fn
+    else:
+        from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm as snake_fn
+
+    c_s, t_s = 10, 320000
+    xs = jnp.asarray(rng.standard_normal((1, c_s, t_s)), jnp.float32) * 0.1
+    al = jnp.zeros((c_s,))
+    be = jnp.zeros((c_s,))
+
+    def snake_stage(x, al, be):
+        return snake_fn(x, al, be)
+
+    fl, by = snake_stage_flops_bytes(c_s, t_s)
+    bench(f"snake_stage_c{c_s}_t{t_s}", snake_stage,
+          lambda i: (xs + i * 1e-5, al, be), fl, by, "vpu")
+
+    # ---------------- train-side (batch 8, 1 s slice @ segment 8000) --------
+    if not args.skip_train:
+        b = 8
+        seg = hp.data.segment_size  # 8000 samples
+        wav = jnp.asarray(rng.standard_normal((b, seg, 1)), jnp.float32) * 0.1
+
+        from whisper_vits_svc_tpu.models.discriminator import (
+            DiscriminatorP, DiscriminatorR, ScaleDiscriminator,
+        )
+        from flax import linen as fnn
+
+        class _MRD(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return [DiscriminatorR(tuple(r), fold_fmaps=True,
+                                       name=f"mrd_{i}")(x)
+                        for i, r in enumerate(hp.mrd.resolutions)]
+
+        class _MPD(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return [DiscriminatorP(p, hp.mpd.kernel_size, hp.mpd.stride,
+                                       name=f"mpd_{i}")(x)
+                        for i, p in enumerate(hp.mpd.periods)]
+
+        class _MSD(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return [ScaleDiscriminator(name="msd")(x)]
+
+        for name, mod, fb in [
+            ("mrd", _MRD(), mrd_flops_bytes(seg, hp.mrd.resolutions)),
+            ("msd", _MSD(), msd_flops_bytes(seg)),
+            ("mpd", _MPD(), mpd_flops_bytes(seg, hp.mpd.periods)),
+        ]:
+            dp = jax.jit(mod.init)(jax.random.PRNGKey(0), wav)["params"]
+
+            def disc_fwd_bwd(p, x, mod=mod):
+                def loss(p):
+                    out = mod.apply({"params": p}, x)
+                    tot = 0.0
+                    for fmaps, score in out:
+                        tot = tot + sum(jnp.sum(jnp.abs(f)) for f in fmaps)
+                        tot = tot + jnp.sum(jnp.square(score))
+                    return tot
+
+                return jax.grad(loss)(p)
+
+            disc_fwd_bwd.__name__ = f"disc_{name}"
+            flb, byb = fb
+            bench(f"{name}_fwd_bwd(train,b8)", disc_fwd_bwd,
+                  lambda i: (dp, wav + i * 1e-5),
+                  flb * b, byb * b, "mxu")
+
+        # prior encoder at train shapes (t=300 frames)
+        tf = 300
+        from whisper_vits_svc_tpu.models.synthesizer import TextEncoder
+
+        te = TextEncoder(hp.vits.ppg_dim, hp.vits.vec_dim,
+                         hp.vits.inter_channels, hp.vits.hidden_channels,
+                         hp.vits.filter_channels)
+        ppg = jnp.asarray(rng.standard_normal((b, tf, hp.vits.ppg_dim)),
+                          jnp.float32) * 0.1
+        vec = jnp.asarray(rng.standard_normal((b, tf, hp.vits.vec_dim)),
+                          jnp.float32) * 0.1
+        pit = jnp.asarray(rng.integers(1, 255, (b, tf)))
+        lens = jnp.full((b,), tf, jnp.int32)
+        tep = jax.jit(te.init)(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            ppg, lens, vec, pit)["params"]
+
+        def enc_p_fwd(p, ppg, vec):
+            return te.apply({"params": p}, ppg, lens, vec, pit,
+                            rngs={"noise": jax.random.PRNGKey(2)})
+
+        fl, by = encoder_flops_bytes(tf, hp)
+        bench("enc_p_fwd(train,b8)", enc_p_fwd,
+              lambda i: (tep, ppg + i * 1e-5, vec), fl * b, by * b, "mxu")
+
+    out = {"metric": "roofline_audit", "peaks": peaks, "rows": rows,
+           "backend": jax.default_backend()}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
