@@ -429,3 +429,39 @@ def test_synthesizer_infer_parity():
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 2, 1), ref_y, rtol=3e-3, atol=3e-3
     )
+
+
+def test_banded_rel_attention_helpers():
+    """Band<->dense conversions (nn/attention.py) vs a direct index
+    construction, across boundary-heavy sizes (L near/below 2w)."""
+    import numpy as np
+
+    from whisper_vits_svc_tpu.nn.attention import (
+        _absolute_to_band, _band_to_absolute,
+    )
+
+    rng = np.random.default_rng(3)
+    for l, w in [(3, 1), (5, 4), (6, 4), (8, 4), (9, 4), (41, 4), (13, 2)]:
+        w_eff = min(w, l - 1)
+        n_rel = 2 * w_eff + 1
+        band = rng.standard_normal((2, 2, l, n_rel)).astype(np.float32)
+        dense = np.asarray(_band_to_absolute(jnp.asarray(band), w_eff))
+        want = np.zeros((2, 2, l, l), np.float32)
+        for i in range(l):
+            for j in range(l):
+                m = j - i
+                if abs(m) <= w_eff:
+                    want[..., i, j] = band[..., i, m + w_eff]
+        np.testing.assert_allclose(dense, want, atol=0, rtol=0,
+                                   err_msg=f"b2a l={l} w={w_eff}")
+
+        x = rng.standard_normal((2, 2, l, l)).astype(np.float32)
+        got = np.asarray(_absolute_to_band(jnp.asarray(x), w_eff))
+        want_b = np.zeros((2, 2, l, n_rel), np.float32)
+        for i in range(l):
+            for c in range(n_rel):
+                j = i + c - w_eff
+                if 0 <= j < l:
+                    want_b[..., i, c] = x[..., i, j]
+        np.testing.assert_allclose(got, want_b, atol=0, rtol=0,
+                                   err_msg=f"a2b l={l} w={w_eff}")

@@ -5,9 +5,21 @@ FFN (vits/attentions.py:12-72, :161-347, :361-416): learned relative key/value
 embeddings over a +/-window_size window (shared across heads), masked softmax
 with -1e4 fill, conv FFN with asymmetric same-padding.
 
-The relative-logit "skew" trick (_relative_position_to_absolute_position,
-reference :312-347) is reproduced with pure reshape/pad ops, which XLA fuses;
-everything is [B, T, C] channels-last.
+The reference realizes the +/-window relative terms by zero-padding the
+(2w+1)-row table to 2L-1 rows, taking full [L, 2L-1] matmuls, and converting
+rel<->abs with its "skew" pad/reshape trick (:312-347). That is O(L^2)
+MEMORY per direction in [L, 2L] intermediates whose unaligned pad/reshapes
+XLA:TPU must realize as serial relayout loops — traced at 2.6 ms -> 65.8 ms
+for the prior encoder going from 1000- to 2520-frame chunks (round-4
+decomposition; a flatten-shift-reshape variant was equally while-bound).
+Here the algebra is kept BANDED: only the 2w+1 diagonals the table actually
+populates are computed ([L, 2w+1] matmuls, w=4), and band<->dense conversion
+is 2w+1 diagonal selects / masked row reductions — reshape-free, fusing
+into the adjacent elementwise scores pass. Numerically identical to the
+reference; pinned by tests/test_parity_nn.py (incl. an exhaustive
+band-helper index test).
+
+Everything is [B, T, C] channels-last.
 """
 
 from __future__ import annotations
@@ -21,31 +33,43 @@ from flax import linen as nn
 from .conv import Conv1d, Dense
 
 
-def _relative_to_absolute(x: jax.Array) -> jax.Array:
-    """[B, H, L, 2L-1] rel-indexed logits -> [B, H, L, L] absolute."""
-    b, h, l, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
-    x_flat = x.reshape(b, h, l * 2 * l)
-    x_flat = jnp.pad(x_flat, ((0, 0), (0, 0), (0, l - 1)))
-    return x_flat.reshape(b, h, l + 1, 2 * l - 1)[:, :, :l, l - 1 :]
+def _band_to_absolute(band: jax.Array, w: int) -> jax.Array:
+    """[B, H, L, 2w+1] banded logits (col c = diagonal m = c - w) ->
+    [B, H, L, L] dense with zeros outside the band.
+
+    dense[i, j] = band[i, j - i + w] as a sum of 2w+1 diagonal SELECTS —
+    deliberately reshape-free: both the reference's skew trick and a
+    flatten-shift-reshape variant force XLA:TPU to relayout ~L^2-sized
+    tensors through serial while/dynamic-update-slice loops (traced at
+    tens of ms per layer at L=2520). The selects fuse into one elementwise
+    pass over the [L, L] scores."""
+    l = band.shape[-2]
+    n_rel = band.shape[-1]
+    rel = jnp.arange(l)[None, :] - jnp.arange(l)[:, None]  # j - i
+    dense = jnp.zeros(band.shape[:-1] + (l,), band.dtype)
+    for c in range(n_rel):
+        dense = dense + jnp.where(rel == c - w, band[..., c][..., None], 0.0)
+    return dense
 
 
-def _absolute_to_relative(x: jax.Array) -> jax.Array:
-    """[B, H, L, L] absolute attention -> [B, H, L, 2L-1] rel-indexed."""
-    b, h, l, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, l - 1)))
-    x_flat = x.reshape(b, h, l * l + l * (l - 1))
-    x_flat = jnp.pad(x_flat, ((0, 0), (0, 0), (l, 0)))
-    return x_flat.reshape(b, h, l, 2 * l)[:, :, :, 1:]
+def _absolute_to_band(x: jax.Array, w: int) -> jax.Array:
+    """[B, H, L, L] dense attention -> [B, H, L, 2w+1] band
+    (band[i, c] = x[i, i + c - w], zero out of range) — 2w+1 masked row
+    reductions, fused multi-output; no reshapes (see _band_to_absolute)."""
+    l = x.shape[-1]
+    n_rel = 2 * w + 1
+    rel = jnp.arange(l)[None, :] - jnp.arange(l)[:, None]  # j - i
+    cols = [jnp.sum(jnp.where(rel == c - w, x, 0.0), axis=-1)
+            for c in range(n_rel)]
+    return jnp.stack(cols, axis=-1)
 
 
-def _get_relative_embeddings(emb: jax.Array, length: int, window_size: int) -> jax.Array:
-    """Slice/pad the (1, 2w+1, d) table to (1, 2*length-1, d)."""
-    pad_length = max(length - (window_size + 1), 0)
-    start = max((window_size + 1) - length, 0)
-    if pad_length > 0:
-        emb = jnp.pad(emb, ((0, 0), (pad_length, pad_length), (0, 0)))
-    return emb[:, start : start + 2 * length - 1]
+def _effective_window(emb: jax.Array, length: int, window_size: int):
+    """(table [1, 2w_eff+1, d], w_eff): for length <= window_size the
+    reference slices the table down (vits/attentions.py:324-334)."""
+    w_eff = min(window_size, length - 1)
+    start = window_size - w_eff
+    return emb[:, start : start + 2 * w_eff + 1], w_eff
 
 
 class MultiHeadAttention(nn.Module):
@@ -93,11 +117,11 @@ class MultiHeadAttention(nn.Module):
                 nn.initializers.normal(rel_stddev),
                 (1, 2 * self.window_size + 1, k_channels),
             )
-            key_rel = _get_relative_embeddings(emb_rel_k, t_s, self.window_size)
-            rel_logits = jnp.einsum(
+            key_rel, w_eff = _effective_window(emb_rel_k, t_s, self.window_size)
+            rel_band = jnp.einsum(
                 "bhld,nmd->bhlm", qh * scale, key_rel, preferred_element_type=jnp.float32
             )
-            scores = scores + _relative_to_absolute(rel_logits)
+            scores = scores + _band_to_absolute(rel_band, w_eff)
 
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
@@ -106,10 +130,10 @@ class MultiHeadAttention(nn.Module):
             p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", p_attn, vh, preferred_element_type=jnp.float32)
         if self.window_size is not None:
-            rel_weights = _absolute_to_relative(p_attn)
-            value_rel = _get_relative_embeddings(emb_rel_v, t_s, self.window_size)
+            value_rel, w_eff = _effective_window(emb_rel_v, t_s, self.window_size)
+            weight_band = _absolute_to_band(p_attn, w_eff)
             out = out + jnp.einsum(
-                "bhlm,nmd->bhld", rel_weights, value_rel, preferred_element_type=jnp.float32
+                "bhlm,nmd->bhld", weight_band, value_rel, preferred_element_type=jnp.float32
             )
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Dense(self.out_channels, name="conv_o")(out)

@@ -114,7 +114,15 @@ class WN(nn.Module):
         unrolled copies: the 16-layer posterior + 8 coupling WN instances were
         the largest single contributor to XLA graph size in the train step
         (compile-time, not runtime — layers are sequential either way).
-        Param tree and arithmetic are identical to the unrolled loop."""
+        Param tree and arithmetic are identical to the unrolled loop.
+
+        On TPU the scan is fully UNROLLED (lax.scan(unroll=...)): above
+        ~2000-frame inputs XLA stops unrolling the while itself, and the
+        non-unrolled loop body blocks fusion — the flow's WN stacks went
+        0.16 ms -> 48 ms of `while` + 30 ms of dynamic-update-slice in the
+        2520-frame shipped chunk (round-4 trace). Unrolling restores
+        straight-line convs; CPU keeps the rolled scan for the 3x
+        compile-time cut this stack was introduced for."""
         h = self.hidden_channels
         n = self.n_layers
         pad = (self.kernel_size - 1) // 2
@@ -150,7 +158,8 @@ class WN(nn.Module):
 
         (x, output), _ = jax.lax.scan(
             body, (x, jnp.zeros_like(x)),
-            ((iv, ig, ib), (rv, rg, rb), g_l[:-1]))
+            ((iv, ig, ib), (rv, rg, rb), g_l[:-1]),
+            unroll=jax.default_backend() == "tpu")
 
         v_i, g_i, b_i = ins[-1]
         x_in = jax.lax.conv_general_dilated(
