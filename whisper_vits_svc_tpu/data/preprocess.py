@@ -299,7 +299,8 @@ def _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop, win,
             if not os.path.isfile(os.path.join(out_dir, sub, spk, name + suffix))
         ]
 
-    # ---- stage 2: crepe F0 (per-utterance trellis; IO prefetched)
+    # ---- stage 2: crepe F0 (per-utterance trellis; IO prefetched; frames
+    # grouped 2048/device-call — identical values, 4x fewer dispatches)
     if extractors.crepe is not None:
         from ..models.crepe import compute_f0
 
@@ -311,7 +312,9 @@ def _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop, win,
 
         n = 0
         for pit_path, a16 in prefetch(map(_load, pend), depth=4):
-            np.save(pit_path, compute_f0(m, p, a16, np.random.default_rng(seed)),
+            np.save(pit_path,
+                    compute_f0(m, p, a16, np.random.default_rng(seed),
+                               batch_size=2048),
                     allow_pickle=False)
             n += 1
         log(f"pitch: {n} utterances")
@@ -341,23 +344,50 @@ def _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop, win,
             hubert_num_frames, 256, log, "hubert vec",
         )
 
-    # ---- stage 5: speaker d-vectors (one static [10, 250, 80] program)
+    # ---- stage 5: speaker d-vectors — host-numpy mel frontend, embed
+    # windows batched ACROSS utterances (grouped by window length nf:
+    # [n*10, nf, 80] per device call instead of one call per utterance)
     if extractors.speaker is not None:
-        from ..models.speaker_encoder import compute_embedding
+        from ..models.speaker_encoder import (
+            _spk_batch_program, speaker_melspectrogram, trim_silence,
+        )
 
         m, p = extractors.speaker
         pend = _pending("speaker", ".spk.npy")
 
-        def _load_s(pair):
-            return pair[1], load_wav(pair[0])[0]
+        def _mel_windows(pair):
+            a16 = load_wav(pair[0])[0]
+            mel = speaker_melspectrogram(trim_silence(a16))
+            nf = min(250, mel.shape[0])
+            offsets = np.linspace(0, mel.shape[0] - nf, num=10).astype(int)
+            return pair[1], np.stack([mel[o : o + nf] for o in offsets])
 
+        groups: dict[int, list] = {}
+        writer = ThreadPoolExecutor(max_workers=2)
         n = 0
-        for spk_path, a16 in prefetch(map(_load_s, pend), depth=4):
-            np.save(spk_path, compute_embedding(m, p, a16), allow_pickle=False)
+
+        def _flush_spk(nf):
+            grp = groups.pop(nf, [])
+            if not grp:
+                return
+            batch = jnp.asarray(np.concatenate([w for _, w in grp]))
+            embs = np.asarray(_spk_batch_program(m, p, batch, len(grp)))
+            for (path, _w), e in zip(grp, embs):
+                writer.submit(np.save, path, e, allow_pickle=False)
+
+        for spk_path, wins in prefetch(map(_mel_windows, pend), depth=8):
+            nf = wins.shape[1]
+            groups.setdefault(nf, []).append((spk_path, wins))
             n += 1
+            if len(groups[nf]) == batch_windows:
+                _flush_spk(nf)
+        for nf in list(groups):
+            _flush_spk(nf)
+        writer.shutdown(wait=True)
         log(f"speaker embed: {n} utterances")
 
-    # ---- stage 6: linear specs (bucketed static-shape program, prefetched IO)
+    # ---- stage 6: linear specs — host reflect-pad, rows batched across
+    # utterances per length bucket (one device call per batch)
     pend_spec = [
         (p32, os.path.join(out_dir, "specs", spk, name + ".spec.npy"))
         for spk, name, _w, _p16, p32 in items
@@ -365,14 +395,38 @@ def _preprocess_staged(speakers, out_dir, extractors, sr32, n_fft, hop, win,
                                            name + ".spec.npy"))
     ]
 
-    def _load_32(pair):
-        return pair[1], load_wav(pair[0])[0]
+    def _prepad_32(pair):
+        a32 = load_wav(pair[0])[0]
+        pad = int((n_fft - hop) / 2)
+        y = np.pad(a32.astype(np.float32), (pad, pad), mode="reflect")
+        return pair[1], y, 1 + (len(y) - n_fft) // hop
 
+    sgroups: dict[int, list] = {}
+    swriter = ThreadPoolExecutor(max_workers=2)
     n = 0
-    for spec_path, a32 in prefetch(map(_load_32, pend_spec), depth=4):
-        np.save(spec_path, compute_spec_bucketed(a32, n_fft, hop, win),
-                allow_pickle=False)
+
+    def _flush_spec(lb):
+        grp = sgroups.pop(lb, [])
+        if not grp:
+            return
+        rows = np.zeros((len(grp), lb), np.float32)
+        for i, (_pth, y, _nf) in enumerate(grp):
+            rows[i, : len(y)] = y
+        spec = np.asarray(_spec_program(jnp.asarray(rows), n_fft, hop, win))
+        for i, (pth, _y, nfr) in enumerate(grp):
+            swriter.submit(np.save, pth, spec[i, :nfr].astype(np.float32),
+                           allow_pickle=False)
+
+    bucket = 128000
+    for spec_path, y, nfr in prefetch(map(_prepad_32, pend_spec), depth=8):
+        lb = -(-len(y) // bucket) * bucket
+        sgroups.setdefault(lb, []).append((spec_path, y, nfr))
         n += 1
+        if len(sgroups[lb]) == batch_windows:
+            _flush_spec(lb)
+    for lb in list(sgroups):
+        _flush_spec(lb)
+    swriter.shutdown(wait=True)
     log(f"specs: {n} utterances")
 
 

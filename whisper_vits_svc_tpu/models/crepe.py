@@ -279,14 +279,20 @@ def predict(
 
 
 def compute_f0(model, params, audio16k: np.ndarray,
-               rng: np.random.Generator | None = None) -> np.ndarray:
+               rng: np.random.Generator | None = None,
+               batch_size: int = 512) -> np.ndarray:
     """Train-prep F0 at hop 160 (reference prepare/preprocess_crepe.py:11-44):
     +0.001 sigma audio noise, median-7 periodicity, mean-5 pitch smoothing,
-    pitch[periodicity < 0.5] = 0."""
+    pitch[periodicity < 0.5] = 0.
+
+    batch_size only groups frames per device call (frames are independent —
+    values are identical at any batch size); the staged preprocessing driver
+    passes a larger batch to cut per-call dispatch latency."""
     audio = audio16k.astype(np.float32)
     if rng is not None:
         audio = audio + rng.standard_normal(len(audio)).astype(np.float32) * 0.001
-    pitch, peri = predict(model, params, audio, hop_length=160, dither_rng=rng)
+    pitch, peri = predict(model, params, audio, hop_length=160, dither_rng=rng,
+                          batch_size=batch_size)
     peri = nan_median_filter(peri.astype(np.float64), 7)
     pitch = nan_mean_filter(pitch.astype(np.float64), 5)
     pitch = np.where(np.nan_to_num(peri) < 0.5, 0.0, np.nan_to_num(pitch))

@@ -21,7 +21,6 @@ from flax import linen as nn
 from scipy.signal import lfilter
 
 from ..ops.mel import mel_filterbank
-from ..ops.stft import stft_magnitude
 
 
 class LSTMCellScan(nn.Module):
@@ -240,11 +239,23 @@ def trim_silence(audio: np.ndarray, top_db: float = TRIM_DB,
 
 
 def speaker_melspectrogram(audio: np.ndarray) -> np.ndarray:
-    """[T] 16 kHz float audio -> [frames, 80] normalized mel (audio.py:561-570)."""
+    """[T] 16 kHz float audio -> [frames, 80] normalized mel (audio.py:561-570).
+
+    Pure numpy (same windowed-DFT basis as ops/stft.py): this is host-side
+    DSP — the round-3 eager-jnp version cost ~8 device dispatches per
+    utterance, which through a high-latency TPU tunnel dominated the whole
+    speaker stage (tools/bench_prep.py)."""
+    from ..ops.stft import _windowed_dft
+
     emph = lfilter([1.0, -PREEMPHASIS], [1.0], audio).astype(np.float32)
     pad = N_FFT // 2
     y = np.pad(emph, (pad, pad), mode="reflect")
-    mag = np.asarray(stft_magnitude(jnp.asarray(y)[None], N_FFT, HOP, WIN))[0]
+    n_frames = 1 + (len(y) - N_FFT) // HOP
+    idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    basis = _windowed_dft(N_FFT, WIN, "hann")
+    spec = y[idx] @ basis
+    n_bins = N_FFT // 2 + 1
+    mag = np.sqrt(spec[:, :n_bins] ** 2 + spec[:, n_bins:] ** 2)
     mel_w = mel_filterbank(SR, N_FFT, N_MELS, 0.0, 8000.0)
     mel = mag @ mel_w.T
     db = REF_DB * np.log10(np.maximum(1e-5, mel))
@@ -259,6 +270,15 @@ def _embed_program(model: LSTMSpeakerEncoder, params, batch):
     compiled program reused across every utterance (>=4 s of trimmed audio
     always hits the same shape)."""
     return jnp.mean(model.apply({"params": params}, batch), axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _spk_batch_program(model: LSTMSpeakerEncoder, params, batch, n_utts):
+    """[n_utts*10, nf, 80] windows from MANY utterances -> [n_utts, 256]
+    (per-utterance mean of its 10 window embeddings) — the preprocessing
+    driver's cross-utterance batching surface."""
+    emb = model.apply({"params": params}, batch)
+    return jnp.mean(emb.reshape(n_utts, 10, emb.shape[-1]), axis=1)
 
 
 def compute_embedding(model: LSTMSpeakerEncoder, params, audio16k: np.ndarray,
