@@ -132,6 +132,96 @@ def test_long_utterance_cropped_into_top_bucket(tmp_path, rng):
     assert np.abs(b["audio"][0, -hop:]).max() > 0
 
 
+def _nan_inject_setup(tmp_path, rng, monkeypatch, poison_call: int):
+    """Micro training setup whose `poison_call`-th batch is poisoned with NaN
+    (injected at the host shard_batch boundary — the deterministic stand-in
+    for VERDICT r4 #6's 'scale D lr until NaN'). Returns (hp, data_dir,
+    set_poison) — set_poison(n) re-targets which call gets poisoned."""
+    import whisper_vits_svc_tpu.train.loop as loop_mod
+    from whisper_vits_svc_tpu.utils.testing import micro_hp
+
+    tmp_path_, fl, hp = _make_data(tmp_path, rng, micro_hp())
+    hp["data"]["training_files"] = str(fl)
+    hp["data"]["validation_files"] = str(fl)
+    hp["train"]["pretrain"] = ""
+    hp["train"]["epochs"] = 10000
+    hp["log"] = dict(info_interval=1, eval_interval=10000, save_interval=1,
+                     num_audio=0, pth_dir=str(tmp_path_ / "chkpt"),
+                     log_dir=str(tmp_path_ / "logs"), keep_ckpts=0)
+    hp["dist"] = dict(coordinator_address=None, num_processes=1, process_id=0)
+
+    state = {"n": 0, "poison": poison_call}
+    orig_shard = loop_mod.pmesh.shard_batch
+
+    def inject(batch, mesh):
+        state["n"] += 1
+        if state["n"] == state["poison"]:
+            batch = dict(batch)
+            batch["ppg"] = np.full_like(batch["ppg"], np.nan)
+        return orig_shard(batch, mesh)
+
+    monkeypatch.setattr(loop_mod.pmesh, "shard_batch", inject)
+
+    def set_poison(n):
+        state["poison"] = n
+
+    return hp, tmp_path_, set_poison
+
+
+@pytest.mark.slow
+def test_nan_guard_halts_without_autoresume(tmp_path, rng, monkeypatch):
+    """Divergence before any checkpoint: the guard halts with the last
+    healthy step surfaced and writes NO checkpoint (VERDICT r4 #6)."""
+    from whisper_vits_svc_tpu.train.loop import TrainDivergence, train
+
+    hp, tmp_path_, _ = _nan_inject_setup(tmp_path, rng, monkeypatch,
+                                         poison_call=2)
+    with pytest.raises(TrainDivergence) as exc_info:
+        train(hp, "t", max_epochs=2, max_steps=6)
+    assert exc_info.value.last_healthy_step == 1
+    assert exc_info.value.step == 2
+    ckpt_dir = os.path.join(str(tmp_path_ / "chkpt"), "t")
+    assert not os.path.isdir(ckpt_dir) or not os.listdir(ckpt_dir), (
+        "no checkpoint may be written past a divergence")
+
+
+@pytest.mark.slow
+def test_nan_guard_autoresumes_from_checkpoint(tmp_path, rng, monkeypatch,
+                                               capsys):
+    """Divergence after a healthy epoch: flag-gated auto-resume restores the
+    last checkpoint, scales the LR down, and training completes."""
+    import jax
+
+    from whisper_vits_svc_tpu.data.dataset import boundaries_for
+    from whisper_vits_svc_tpu.train.loop import train
+
+    hp, tmp_path_, set_poison = _nan_inject_setup(tmp_path, rng, monkeypatch,
+                                                  poison_call=10**9)
+    # count the batches one epoch produces (bucket padding makes it more
+    # than items/batch_size), so the poison lands on epoch 2's FIRST batch —
+    # i.e. after epoch 1's checkpoint exists
+    ds = SvcDataset(hp.data.training_files, hp.data)
+    batcher = BucketBatcher(ds, hp.train.batch_size,
+                            boundaries=boundaries_for(hp.data),
+                            seed=hp.train.seed)
+    n_per_epoch = len(list(batcher.epoch_batches(1)))
+    assert n_per_epoch == len(list(batcher.epoch_batches(2)))
+    set_poison(n_per_epoch + 1)
+    hp["train"]["nan_autoresume"] = True
+    hp["train"]["nan_lr_factor"] = 0.5
+    # epoch 1 = n healthy steps + checkpoint; epoch 2's first batch is
+    # poisoned -> detected at step n+1 -> auto-resume to step n / epoch 1;
+    # the re-run epoch 1 and epoch 2 are clean -> final counter 3n
+    g_state, d_state, step = train(hp, "t", max_epochs=2, max_steps=10**9)
+    assert step == 3 * n_per_epoch
+    out = capsys.readouterr().out
+    assert "auto-resumed" in out
+    for leaf in jax.tree.leaves(g_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    ckpts = os.listdir(os.path.join(str(tmp_path_ / "chkpt"), "t"))
+    assert any(f.endswith(".ckpt") for f in ckpts)
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path, rng):
     from whisper_vits_svc_tpu.train.loop import train

@@ -118,6 +118,18 @@ def load_torch_pretrain(path: str) -> dict:
     return payload
 
 
+def latest_checkpoint(pth_dir: str, name: str) -> str | None:
+    """Newest `{name}_NNNN.ckpt` by mtime, or None (the auto-resume anchor
+    for the train loop's NaN guard)."""
+    if not os.path.isdir(pth_dir):
+        return None
+    pat = re.compile(rf"{re.escape(name)}_\d+\.ckpt$")
+    files = [os.path.join(pth_dir, f) for f in os.listdir(pth_dir) if pat.match(f)]
+    if not files:
+        return None
+    return max(files, key=os.path.getmtime)
+
+
 def clean_checkpoints(pth_dir: str, name: str, keep: int):
     """mtime-ordered GC, 0 = keep all (reference train.py:280-309)."""
     if keep <= 0 or not os.path.isdir(pth_dir):

@@ -168,6 +168,10 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
         mel_fmax=hp.data.mel_fmax,
     )
     c_mel, c_stft, c_kl = hp.train.c_mel, hp.train.c_stft, hp.train.c_kl
+    # opt-in elementwise grad-value clip: the reference's clip_grad_value_
+    # accepts a value but is called with None (vits_extend/train.py:229,246;
+    # vits/commons.py:172-187 — norm computed on the RAW grads, then clamp)
+    clip_value = hp.train.get("clip_grad_value", None)
 
     def joint_loss_fn(gd_params, batch, rng):
         """loss_g + loss_d in ONE backward. Cross-terms are cut with
@@ -253,6 +257,10 @@ def make_train_step(hp, g_model: SynthesizerTrn, d_model: Discriminator):
         # free inside the jitted step, and the main training-health signal
         metrics["grad_norm_g"] = optax.global_norm(g_grads)
         metrics["grad_norm_d"] = optax.global_norm(d_grads)
+        if clip_value is not None:
+            clamp = partial(jax.tree.map,
+                            lambda x: jnp.clip(x, -clip_value, clip_value))
+            g_grads, d_grads = clamp(g_grads), clamp(d_grads)
         g_state = g_state.apply_gradients(g_grads)
         d_state = d_state.apply_gradients(d_grads)
         return g_state, d_state, metrics
