@@ -221,7 +221,12 @@ def main():
         "vs_baseline": round(headline_rtf / 1.0, 2),
         "geometry": ("svc_infer_chunk2520" if shipped is not None
                      else "microbench_10s_fallback"),
-        "method": shipped[2] if shipped is not None else method,
+        # device time of the chunk+source programs only: host-side retrieval
+        # blend, per-chunk pad/concat and H2D/D2H are excluded (the tunnel's
+        # wall clock is unmeasurable — see docstring); the host DSP share is
+        # measured separately in end_to_end_rtf_incl_host_dsp
+        "method": (shipped[2] + "_device_only_excl_host_walk"
+                   if shipped is not None else method),
         # provenance: identical-looking values across rounds are otherwise
         # indistinguishable from a stale cached number (VERDICT r2 weak #4)
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
@@ -318,6 +323,22 @@ def main():
             record["streaming"] = measure_streaming()
         except Exception as e:
             print(f"streaming measurement failed: {e!r}", file=sys.stderr)
+
+    # train-step throughput block: ms/step + utt/s at the reference-default
+    # batch 8 and the recommended batch 16, so train-perf regressions are
+    # driver-captured round-over-round like synthesis ones (VERDICT r4 #8).
+    # BENCH_TRAIN=0 skips the two train-step compiles.
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            from bench_train import measure_train
+
+            record["train"] = {
+                "batch_8": measure_train(batch=8),
+                "batch_16": measure_train(batch=16),
+                "recommended_batch": 16,
+            }
+        except Exception as e:
+            print(f"train measurement failed: {e!r}", file=sys.stderr)
 
     print(json.dumps(record))
 
