@@ -124,6 +124,24 @@ def test_crepe_one_compile_across_lengths(rng):
     assert crepe_mod._crepe_program._cache_size() == size_after_first
 
 
+def test_speaker_length_gather_exact(rng):
+    """Right-zero-padded mel windows + per-row length gather == natural-length
+    runs (the causal LSTM makes the bucket padding exact — the speaker
+    stage's one-program-per-bucket surface, ADVICE r4 #2)."""
+    from whisper_vits_svc_tpu.models import speaker_encoder as spk_mod
+
+    model = spk_mod.LSTMSpeakerEncoder(proj_dim=16, lstm_dim=32, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))["params"]
+    for nf in (5, 17, 30):
+        x = (rng.standard_normal((3, nf, 80)) * 0.3).astype(np.float32)
+        nat = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        pad = np.zeros((3, 32, 80), np.float32)
+        pad[:, :nf] = x
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(pad),
+                                     jnp.full((3,), nf, jnp.int32)))
+        np.testing.assert_allclose(got, nat, rtol=1e-5, atol=1e-6)
+
+
 def test_viterbi_bucketed_pad_invariance(rng):
     """The bucketed trellis must give the same path whether T lands on a
     bucket boundary or far inside one."""
@@ -132,6 +150,10 @@ def test_viterbi_bucketed_pad_invariance(rng):
         probs /= probs.sum(axis=1, keepdims=True)
         path = crepe_mod.viterbi_decode(probs)
         assert path.shape == (T,)
+        import ref_stubs
+
+        ref_stubs.install()  # librosa stub (this test must not depend on
+        #                      the parity modules having imported it first)
         import librosa.sequence as seq
 
         expected = seq.viterbi(probs.T,

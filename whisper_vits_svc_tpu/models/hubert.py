@@ -234,13 +234,15 @@ def _vec_program(model: HubertSoft, params, wavs, n_samples):
 
 
 def vec_window_batch(model: HubertSoft, params, windows: np.ndarray,
-                     n_samples: np.ndarray) -> np.ndarray:
+                     n_samples: np.ndarray, as_numpy: bool = True) -> np.ndarray:
     """Cross-utterance batching surface for the preprocessing driver (see
     ppg_window_batch): fixed-size batches of 20 s windows from many
-    utterances through one compiled program."""
-    return np.asarray(_vec_program(
+    utterances through one compiled program. as_numpy=False returns the
+    un-materialized device array (double-buffered driver, VERDICT r4 #4)."""
+    out = _vec_program(
         model, params, jnp.asarray(windows, jnp.float32),
-        jnp.asarray(n_samples, jnp.int32)))
+        jnp.asarray(n_samples, jnp.int32))
+    return np.asarray(out) if as_numpy else out
 
 
 def pred_vec(model: HubertSoft, params, audio16k: np.ndarray,

@@ -61,14 +61,24 @@ class LSTMSpeakerEncoder(nn.Module):
     num_layers: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """[B, T, 80] mel -> [B, 256] L2-normalized d-vector (last frame)."""
+    def __call__(self, x: jax.Array,
+                 lengths: jax.Array | None = None) -> jax.Array:
+        """[B, T, 80] mel -> [B, 256] L2-normalized d-vector (last frame).
+
+        lengths [B] selects the last REAL frame per row for right-zero-padded
+        batches: the LSTM is causal, so the state at frame lengths[i]-1 is
+        bit-identical to a natural-length run — padding rows to a shape
+        bucket is exact (the preprocessing driver's one-program-per-bucket
+        surface, ADVICE r4 #2)."""
         for i in range(self.num_layers):
             x = LSTMCellScan(self.lstm_dim, name=f"lstm_{i}")(x)
             w = self.param(f"proj_{i}", nn.initializers.xavier_normal(),
                            (self.lstm_dim, self.proj_dim))
             x = x @ w
-        d = x[:, -1]
+        if lengths is None:
+            d = x[:, -1]
+        else:
+            d = x[jnp.arange(x.shape[0]), lengths - 1]
         return d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
 
 
@@ -273,11 +283,15 @@ def _embed_program(model: LSTMSpeakerEncoder, params, batch):
 
 
 @partial(jax.jit, static_argnums=(0, 3))
-def _spk_batch_program(model: LSTMSpeakerEncoder, params, batch, n_utts):
+def _spk_batch_program(model: LSTMSpeakerEncoder, params, batch, n_utts,
+                       lengths=None):
     """[n_utts*10, nf, 80] windows from MANY utterances -> [n_utts, 256]
     (per-utterance mean of its 10 window embeddings) — the preprocessing
-    driver's cross-utterance batching surface."""
-    emb = model.apply({"params": params}, batch)
+    driver's cross-utterance batching surface. lengths [n_utts*10] marks the
+    real frame count of right-zero-padded rows (exact — causal LSTM, see
+    LSTMSpeakerEncoder.__call__), so windows of different nf share one
+    compiled program per shape bucket instead of one per distinct nf."""
+    emb = model.apply({"params": params}, batch, lengths)
     return jnp.mean(emb.reshape(n_utts, 10, emb.shape[-1]), axis=1)
 
 

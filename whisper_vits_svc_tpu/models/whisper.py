@@ -207,17 +207,22 @@ def _ppg_program(model: WhisperEncoder, params, chunks, n_samples, key):
 
 def ppg_window_batch(model: WhisperEncoder, params, windows: np.ndarray,
                      n_samples: np.ndarray,
-                     rng: jax.Array | None = None) -> np.ndarray:
+                     rng: jax.Array | None = None,
+                     as_numpy: bool = True) -> np.ndarray:
     """[B, WINDOW_SAMPLES] zero-padded windows + [B] real lengths -> PPG
     [B, WINDOW_SAMPLES//PPG_HOP, n_state] (rows valid to n_samples//320).
 
     The cross-utterance batching surface: the preprocessing driver packs 15 s
     windows from MANY utterances into fixed-size batches through this one
-    program (SURVEY.md §7.4 batched on-device feature extraction)."""
-    return np.asarray(_ppg_program(
+    program (SURVEY.md §7.4 batched on-device feature extraction).
+    as_numpy=False returns the un-materialized device array so the caller can
+    keep multiple batches in flight (dispatch N+1 before blocking on N —
+    the double-buffered driver, VERDICT r4 #4)."""
+    out = _ppg_program(
         model, params, jnp.asarray(windows, jnp.float32),
         jnp.asarray(n_samples, jnp.int32), rng,
-    ))
+    )
+    return np.asarray(out) if as_numpy else out
 
 
 def pred_ppg(model: WhisperEncoder, params, audio16k: np.ndarray,
