@@ -323,6 +323,14 @@ def main():
             record["streaming"] = measure_streaming()
         except Exception as e:
             print(f"streaming measurement failed: {e!r}", file=sys.stderr)
+        try:
+            # FULL-CHAIN audio-in streaming: extractors + synthesis per
+            # block through StreamingSvc.push_audio (VERDICT r4 next #1)
+            from tools.bench_stream import measure_streaming_e2e
+
+            record["streaming_e2e"] = measure_streaming_e2e()
+        except Exception as e:
+            print(f"streaming e2e measurement failed: {e!r}", file=sys.stderr)
 
     # train-step throughput block: ms/step + utt/s at the reference-default
     # batch 8 and the recommended batch 16, so train-perf regressions are

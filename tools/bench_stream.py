@@ -96,6 +96,120 @@ def measure_streaming(block_frames: int = 100, context_frames: int = 50,
     }
 
 
+def measure_streaming_e2e(n_blocks: int = 6, block_samples: int = 16000):
+    """FULL-CHAIN streaming: audio-in -> audio-out per 1 s block through
+    StreamingSvc.push_audio (sliding-15 s whisper + carried-context hubert +
+    fixed-lag crepe + synthesis, infer/stream_extract.py) at base dims with
+    random weights (structure == shipped; weights don't change op cost).
+
+    -> dict: per-block device ms split by stage + host decode ms + the
+    derived worst-case end-to-end latency. This is the measured counterclaim
+    to the reference's 'real-time conversion not supported'
+    (/root/reference/README.md:22) — VERDICT r4 next #1's `streaming_e2e`
+    row."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.infer import pipeline
+    from whisper_vits_svc_tpu.infer.stream import StreamingSvc
+    from whisper_vits_svc_tpu.infer.stream_extract import StreamingExtractor
+    from whisper_vits_svc_tpu.models.crepe import Crepe
+    from whisper_vits_svc_tpu.models.hubert import HubertSoft
+    from whisper_vits_svc_tpu.models.whisper import WhisperEncoder
+    from whisper_vits_svc_tpu.utils.config import load_config
+    from whisper_vits_svc_tpu.utils.device_trace import device_total_ms
+
+    hp = load_config("configs/base.yaml")
+    rng = np.random.default_rng(11)
+
+    # full-size extractors, random weights
+    w_model = WhisperEncoder()
+    w_params = jax.jit(w_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 100, 80)))["params"]
+    h_model = HubertSoft()
+    h_params = jax.jit(h_model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16000)))["params"]
+    c_model = Crepe("full")
+    c_params = jax.jit(c_model.init)(
+        jax.random.PRNGKey(2), jnp.zeros((4, 1024)))["params"]
+
+    model = pipeline.build_infer_model(hp)
+    t0 = 8
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)},
+        jnp.zeros((1, t0, hp.vits.ppg_dim)), jnp.zeros((1, t0, hp.vits.vec_dim)),
+        jnp.full((1, t0), 200.0), jnp.zeros((1, hp.vits.spk_dim)),
+        jnp.full((1,), t0, jnp.int32),
+        jnp.zeros((1, t0 * hp.data.hop_length, 1)),
+    )["params"]
+    spk = (rng.standard_normal(hp.vits.spk_dim) * 0.1).astype(np.float32)
+
+    def make_stream():
+        svc = StreamingSvc(model, params, spk, hp, block_frames=100,
+                           context_frames=50)
+        svc.attach_extractor(StreamingExtractor(
+            whisper=(w_model, w_params), hubert=(h_model, h_params),
+            crepe=(c_model, c_params), block_samples=block_samples))
+        return svc
+
+    def block():
+        t = np.arange(block_samples) / 16000
+        x = 0.4 * np.sin(2 * np.pi * rng.uniform(150, 350) * t)
+        return (x + rng.standard_normal(block_samples) * 0.01).astype(np.float32)
+
+    svc = make_stream()
+    svc.push_audio(block())  # warmup/compile all programs
+    svc.push_audio(block())
+
+    # host-side decode cost (numpy trellis + backtrace) measured directly —
+    # deterministic host work, perf_counter is trustworthy for it
+    host0 = time.perf_counter()
+
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    jax.profiler.start_trace(trace_dir)
+    try:
+        for _ in range(n_blocks):
+            svc.push_audio(block())
+    finally:
+        jax.profiler.stop_trace()
+    wall_ms = (time.perf_counter() - host0) * 1e3 / n_blocks
+
+    prefixes = {
+        "whisper_sliding_15s": ("jit__ppg_program",),
+        "hubert_ctx_window": ("jit__vec_program",),
+        "crepe_block": ("jit__crepe_program",),
+        "synthesis": ("jit_run",),
+    }
+    stages = {}
+    total = 0.0
+    for name, p in prefixes.items():
+        ms = device_total_ms(trace_dir, p)
+        ms = (ms or 0.0) / n_blocks
+        stages[name] = round(ms, 2)
+        total += ms
+    block_seconds = block_samples / 16000.0
+    method = "device_trace" if total > 0 else "wall_clock_blocked"
+    if total == 0:
+        total = wall_ms
+    return {
+        "block_seconds": block_seconds,
+        "device_ms_per_block": round(total, 2),
+        "stage_device_ms": stages,
+        "host_decode_and_walk_ms_per_block_wallclock": round(
+            max(wall_ms - total, 0.0), 2),
+        "within_block_rtf": round(block_seconds / (total / 1e3), 1),
+        "worst_case_latency_ms": round(
+            block_seconds * 1e3                 # block buffering
+            + 4 * 320 / 16000.0 * 1e3           # 4-frame extractor lag (80 ms)
+            + total, 1),
+        "method": method,
+    }
+
+
 def main():
     from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
 
@@ -127,6 +241,11 @@ def main():
         print(f"extractor share measurement failed: {e!r}", file=sys.stderr)
         r["worst_case_latency_ms"] = round(
             r["block_seconds"] * 1e3 + r["synthesis_device_ms_per_block"], 1)
+
+    try:
+        r["e2e"] = measure_streaming_e2e()
+    except Exception as e:
+        print(f"streaming e2e measurement failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({"metric": "streaming_block_latency", **r}))
 

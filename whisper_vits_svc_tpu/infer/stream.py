@@ -94,6 +94,37 @@ class StreamingSvc:
         self._run = run
         self._total = total
 
+    def attach_extractor(self, extractor) -> None:
+        """Attach a stream_extract.StreamingExtractor for the audio-in API.
+
+        The extractor's 16 kHz block (block_samples) must map to at most
+        this converter's block_frames at 100 fps: block_samples//320*2
+        <= block_frames."""
+        assert extractor.block // 160 <= self.block, (
+            "extractor block emits more frames than the synthesis block")
+        self.extractor = extractor
+
+    def push_audio(self, samples16k: np.ndarray) -> np.ndarray:
+        """Audio-in streaming: 16 kHz source block -> 32 kHz converted audio.
+
+        Composes the streaming extractors (whisper sliding window, carried-
+        context hubert, fixed-lag crepe — infer/stream_extract.py) with the
+        synthesis streaming; the emitted audio trails the input by the
+        extractor's lag (default 80 ms) plus the block buffering itself.
+        The full chain the reference rules out as 'too slow'
+        (/root/reference/README.md:22), measured in tools/bench_stream.py."""
+        ppg2, vec2, pit = self.extractor.push(samples16k)
+        if len(pit) == 0:
+            return np.zeros(0, np.float32)
+        return self.push(ppg2, vec2, pit)
+
+    def flush_audio(self) -> np.ndarray:
+        """Drain the extractor lag tail at end of stream."""
+        ppg2, vec2, pit = self.extractor.flush()
+        if len(pit) == 0:
+            return np.zeros(0, np.float32)
+        return self.push(ppg2, vec2, pit)
+
     def push(self, ppg: np.ndarray, vec: np.ndarray, pit: np.ndarray) -> np.ndarray:
         """Feed `block_frames` of features; returns block_frames*hop samples.
 
