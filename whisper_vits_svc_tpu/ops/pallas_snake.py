@@ -166,11 +166,23 @@ def _kernel_nocopy(main_ref, hl_ref, hr_ref, a_ref, ib_ref, out_ref, *, taps,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _divisor_tile(c: int, t: int) -> int | None:
-    """Largest lane-aligned tile dividing t within the VMEM budget, or None."""
+import os
+
+# SVC_SNAKE_TILE_CAP bounds the zero-copy tile (in samples); the default
+# budget-max tile measured SLOWER at long T (T=806k: tile 16128 -> 1.30 ms
+# vs 8064 -> see tools/diag_snake.py sweep) because fewer, larger grid steps
+# starve the Mosaic pipeline. None = budget-max (round-1 behavior).
+_TILE_CAP = int(os.environ.get("SVC_SNAKE_TILE_CAP", "0")) or None
+
+
+def _divisor_tile(c: int, t: int, cap: int | None = None) -> int | None:
+    """Largest lane-aligned tile dividing t within the VMEM budget (and the
+    optional cap), or None."""
     if t % _LANE:
         return None
     max_tt = _VMEM_BUDGET // (16 * 4 * max(c, 8))
+    if cap or _TILE_CAP:
+        max_tt = min(max_tt, cap or _TILE_CAP)
     g = t // _LANE
     best = 0
     for d in range(1, g + 1):
@@ -496,6 +508,7 @@ def snake_alias_cm_pallas(
     k_down: int = 12,
     interpret: bool | None = None,
     mxu: bool = False,
+    tile_cap: int | None = None,
 ) -> jax.Array:
     """Fused x2-up -> SnakeBeta -> x2-down on [B, C, T]; exact-edge semantics.
 
@@ -515,7 +528,7 @@ def snake_alias_cm_pallas(
     af = jnp.exp(alpha.astype(jnp.float32)).reshape(-1, 1)
     ibf = 1.0 / (jnp.exp(beta.astype(jnp.float32)) + 1e-9).reshape(-1, 1)
 
-    tt_div = _divisor_tile(c, t) if c <= 128 else None
+    tt_div = _divisor_tile(c, t, tile_cap) if c <= 128 else None
     if tt_div is not None:
         tt = tt_div
         nt = t // tt
