@@ -283,3 +283,25 @@ def test_pallas_snake_bf16_io():
         ref = snake_alias_fused_cm(x32, alpha, beta, exact_edges=True)
         np.testing.assert_allclose(out.astype(jnp.float32), ref,
                                    atol=0.05, rtol=0.05)
+
+
+def test_pallas_snake_strips_matches_cm(rng):
+    """Strip-folded path (time segments stacked on the channel axis for full
+    sublane utilization — round-5 long-T win) must match the jnp exact-edge
+    form including global edges, at several (c, fold) geometries."""
+    from whisper_vits_svc_tpu.nn.snake import snake_alias_fused_cm
+    from whisper_vits_svc_tpu.ops.pallas_snake import (
+        _strip_fold, snake_alias_cm_pallas,
+    )
+
+    for c, t in [(10, 128 * 40), (20, 128 * 50), (6, 128 * 64),
+                 (10, 128 * 25)]:
+        fold = _strip_fold(c, t)
+        assert fold is not None and (c * fold) % 8 == 0 or c == 10
+        x = jnp.asarray(rng.standard_normal((2, c, t)), jnp.float32) * 0.5
+        alpha = jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1
+        beta = jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1
+        ref = snake_alias_fused_cm(x, alpha, beta, exact_edges=True)
+        got = snake_alias_cm_pallas(x, alpha, beta, interpret=True,
+                                    strips=True)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

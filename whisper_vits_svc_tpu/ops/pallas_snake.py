@@ -131,6 +131,42 @@ def snake_range(x, x_lo: int, out_lo: int, out_len: int, a, ib, taps,
     return out
 
 
+def _kernel_strips(main_ref, halo_ref, offs_ref, a_ref, ib_ref, out_ref, *,
+                   taps, tt: int, t_real: int):
+    """Strip-folded variant of _kernel_padded: rows are (segment, channel)
+    pairs of the original [C, T] array, so a c<8-multiple tensor runs at
+    full (8, 128) VPU utilization (c=10 costs 2 sublane groups per tile in
+    the plain layout — measured exactly 2x the c=8 cost, tools/diag_snake4).
+    offs_ref [c_tile, 1] carries each row's global time offset; positions,
+    boundary clamps and edge-replicate rebuilds all run against GLOBAL
+    coordinates, so the result is bit-identical to the unfolded kernel
+    (strip halos carry real neighbor samples; rows at the global ends carry
+    the edge-replicated pad)."""
+    x = jnp.concatenate(
+        [main_ref[0], halo_ref[0][:, : 2 * _PAD]], axis=-1
+    ).astype(jnp.float32)
+    t0 = pl.program_id(2) * tt + offs_ref[:].astype(jnp.int32)  # [C, 1]
+    out = snake_range(x, -_PAD, 0, tt, a_ref[:].astype(jnp.float32),
+                      ib_ref[:].astype(jnp.float32), taps, t_real, t0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _strip_fold(c: int, t: int) -> int | None:
+    """Best fold factor: rows become (fold*c) with segment length t/fold.
+    Constraints: segments lane-aligned (t % (fold*128) == 0), fold*c <= 128;
+    chosen to maximize sublane utilization fold*c / round8(fold*c). Returns
+    None when the plain layout is already >= as good."""
+    best, best_util = None, c / _round_up(c, 8)
+    for fold in range(2, 128 // c + 1):
+        if t % (fold * _LANE):
+            continue
+        cf = fold * c
+        util = cf / _round_up(cf, 8)
+        if util > best_util + 1e-9:
+            best, best_util = fold, util
+    return best
+
+
 def _kernel_padded(main_ref, halo_ref, a_ref, ib_ref, out_ref, *, taps,
                    tt: int, t_real: int):
     """Padded path: main/halo cover padded[b, cblk, t0 : t0+tt+128] (only the
@@ -500,6 +536,63 @@ def _diff_bwd(k_up, k_down, res, dy):
 snake_alias_cm_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
 
 
+def _snake_strips(x, af, ibf, taps, fold: int, t_real: int, interpret: bool):
+    """Strip-folded launch: [b, c, t] -> fold x (t/fold)-segments stacked on
+    the channel axis -> _kernel_strips at full sublane utilization -> unfold.
+    Bit-identical to the plain kernel (global-coordinate clamps; halos carry
+    real neighbors / edge replicas). Costs one gather pass in and one
+    transpose pass out — a net win only at long T (see use gate)."""
+    import numpy as _np
+
+    b, c, t = x.shape
+    seg = t // fold
+    cf = c * fold
+    xp = jnp.pad(x, ((0, 0), (0, 0), (_PAD, _PAD)), mode="edge")
+    rows = [jax.lax.dynamic_slice_in_dim(xp, f * seg, seg + 2 * _PAD, 2)
+            for f in range(fold)]
+    folded = jnp.concatenate(rows, axis=1)  # [b, cf, seg + 2*_PAD], f-major
+
+    c_tile = min(_round_up(cf, 8), 128)
+    tt = _VMEM_BUDGET // (16 * 4 * c_tile)
+    tt = max(_LANE * 4, (tt // _LANE) * _LANE)
+    tt = min(tt, _round_up(seg, _LANE))
+    cp = _round_up(cf, c_tile)
+    tp = _round_up(seg, tt)
+    nt = tp // tt
+    folded = jnp.pad(folded, ((0, 0), (0, cp - cf),
+                              (0, tp + tt - seg - 2 * _PAD)))
+    offs = jnp.asarray(
+        _np.pad(_np.repeat(_np.arange(fold) * seg, c), (0, cp - cf))
+        .reshape(-1, 1), jnp.int32)
+    af_f = jnp.pad(jnp.tile(af, (fold, 1)), ((0, cp - cf), (0, 0)),
+                   constant_values=1.0)
+    ibf_f = jnp.pad(jnp.tile(ibf, (fold, 1)), ((0, cp - cf), (0, 0)),
+                    constant_values=1.0)
+
+    main_spec = pl.BlockSpec((1, c_tile, tt), lambda bi, ci, ti: (bi, ci, ti),
+                             memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (1, c_tile, _LANE),
+        lambda bi, ci, ti: (bi, ci, (ti + 1) * (tt // _LANE)),
+        memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((c_tile, 1), lambda bi, ci, ti: (ci, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_strips, taps=taps, tt=tt,
+                               t_real=t_real)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, cp, tp), x.dtype),
+        grid=(b, cp // c_tile, nt),
+        in_specs=[main_spec, halo_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=main_spec,
+        interpret=interpret,
+    )(folded, folded, offs, af_f, ibf_f)
+    return (out[:, :cf, :seg]
+            .reshape(b, fold, c, seg)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, c, t))
+
+
 def snake_alias_cm_pallas(
     x: jax.Array,
     alpha: jax.Array,
@@ -509,6 +602,7 @@ def snake_alias_cm_pallas(
     interpret: bool | None = None,
     mxu: bool = False,
     tile_cap: int | None = None,
+    strips: bool | None = None,
 ) -> jax.Array:
     """Fused x2-up -> SnakeBeta -> x2-down on [B, C, T]; exact-edge semantics.
 
@@ -527,6 +621,19 @@ def snake_alias_cm_pallas(
 
     af = jnp.exp(alpha.astype(jnp.float32)).reshape(-1, 1)
     ibf = 1.0 / (jnp.exp(beta.astype(jnp.float32)) + 1e-9).reshape(-1, 1)
+
+    # strip-folded path: kernel cost is ceil(c/8) sublane groups x T
+    # (measured: c=10 costs exactly 2x c=8 at equal T — diag_snake4), so
+    # non-8-multiple channel counts at long T fold time segments onto the
+    # channel axis for full utilization. Gated to b*t >= 2*_MIN_T so the
+    # fold gather + unfold transpose passes stay a small fraction of the
+    # kernel time (A/B: tools/diag_snake4.py --strips).
+    if strips is None:
+        strips = c % 8 != 0 and b * t >= 2 * _MIN_T and t % _LANE == 0
+    if strips and not mxu:
+        fold = _strip_fold(c, t)
+        if fold is not None:
+            return _snake_strips(x, af, ibf, taps, fold, t, interpret)
 
     tt_div = _divisor_tile(c, t, tile_cap) if c <= 128 else None
     if tt_div is not None:
