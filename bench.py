@@ -25,12 +25,15 @@ import time
 import numpy as np
 
 
-def measure_shipped(compute_dtype=None):
-    """RTF through pipeline.svc_infer at the shipped chunk geometry.
+def measure_shipped(compute_dtype=None, out_chunk=None):
+    """RTF through pipeline.svc_infer at the shipped chunk geometry
+    (out_chunk=None -> the pipeline default, 1000 frames since round 5;
+    pass 2500 for the reference-geometry compat series).
 
-    Returns (rtf, device_ms_per_25s_chunk, method) — device time counts the
+    Returns (rtf, device_ms_per_25s_audio, method) — device time counts the
     chunk program AND the bucketed source program (everything svc_infer puts
-    on the device)."""
+    on the device); the per-25s figure is normalized to 25 s of audio
+    regardless of chunk size so the series stays comparable across rounds."""
     import jax
     import jax.numpy as jnp
 
@@ -58,8 +61,9 @@ def measure_shipped(compute_dtype=None):
         _jnp.full((1,), t0, _jnp.int32), _jnp.zeros((1, t0 * 320, 1)),
     )["params"]
 
-    kw = dict(noise_scale=1.0, out_chunk=2500, hop_frame=10,
-              compute_dtype=compute_dtype)
+    kw = dict(noise_scale=1.0, hop_frame=10, compute_dtype=compute_dtype)
+    if out_chunk is not None:
+        kw["out_chunk"] = out_chunk
     # warmup/compile
     pipeline.svc_infer(model, params, DummyRetrieval(), spk, pit, ppg, vec,
                        hp, **kw)
@@ -83,8 +87,8 @@ def measure_shipped(compute_dtype=None):
             best = min(best, time.perf_counter() - t_start)
         total_ms = best * 1e3
     rtf = audio_seconds / (total_ms / 1e3)
-    ms_per_chunk = total_ms / (n_calls * 2)  # 2 chunks per call
-    return rtf, ms_per_chunk, method
+    ms_per_25s = total_ms / (audio_seconds / 25.0)
+    return rtf, ms_per_25s, method
 
 
 def main():
@@ -199,7 +203,7 @@ def main():
     # ---- headline: the SHIPPED svc_infer geometry (2520-frame chunks)
     import sys as _sys
 
-    shipped = shipped_bf16 = None
+    shipped = shipped_bf16 = shipped_2520 = None
     try:
         shipped = measure_shipped()
     except Exception as e:  # never lose the bench line to one path
@@ -212,6 +216,14 @@ def main():
             shipped_bf16 = measure_shipped(compute_dtype=jnp.bfloat16)
         except Exception as e:
             print(f"shipped bf16 measurement failed: {e!r}", file=_sys.stderr)
+    if shipped is not None and jax.default_backend() != "cpu":
+        try:
+            # reference-geometry compat series (rounds 1-4 measured 2500-
+            # frame chunks; the shipped default moved to 1000 in round 5)
+            shipped_2520 = measure_shipped(out_chunk=2500)
+        except Exception as e:
+            print(f"chunk2520 compat measurement failed: {e!r}",
+                  file=_sys.stderr)
 
     headline_rtf = shipped[0] if shipped is not None else rtf
     record = {
@@ -219,7 +231,7 @@ def main():
         "value": round(headline_rtf, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(headline_rtf / 1.0, 2),
-        "geometry": ("svc_infer_chunk2520" if shipped is not None
+        "geometry": ("svc_infer_chunk1020" if shipped is not None
                      else "microbench_10s_fallback"),
         # device time of the chunk+source programs only: host-side retrieval
         # blend, per-chunk pad/concat and H2D/D2H are excluded (the tunnel's
@@ -239,6 +251,11 @@ def main():
     if shipped_bf16 is not None:
         record["synthesis_rtf_bf16"] = round(shipped_bf16[0], 2)
         record["device_ms_per_25s_chunk_bf16"] = round(shipped_bf16[1], 2)
+    if shipped_2520 is not None:
+        record["chunk2520_compat"] = {
+            "rtf": round(shipped_2520[0], 2),
+            "device_ms_per_25s_chunk": round(shipped_2520[1], 2),
+        }
     # secondary series: the round 1-3 direct-graph 10 s microbench
     record["microbench_10s"] = {
         "rtf": round(rtf, 2), "device_ms": round(ms_per_call, 2),

@@ -3,10 +3,19 @@
 Reference svc_inference.py:77-134 semantics, XLA-shaped: the NSF harmonic
 source is generated ONCE for the whole utterance and sliced per chunk so the
 excitation phase is continuous across chunk boundaries (the trick that makes
-chunking artifact-free, SURVEY.md §5.7); 2500-frame (25 s) chunks with a
-10-frame overlap trimmed at the seams. Every chunk is right-padded to the
-static `out_chunk + 2*hop_frame` shape with a length mask, so the whole song
-runs through exactly ONE compiled program regardless of its duration.
+chunking artifact-free, SURVEY.md §5.7); fixed-size chunks with a 10-frame
+overlap trimmed at the seams. Every chunk is right-padded to the static
+`out_chunk + 2*hop_frame` shape with a length mask, so the whole song runs
+through exactly ONE compiled program regardless of its duration.
+
+Default chunk size is 1000 frames (10 s) — a TPU sweet spot measured
+through this very path (40.1 vs 45.2 us/frame against the reference's
+2500-frame chunks, same-session device-trace sweep in
+tools/diag_chunkgeom.py; XLA's conv fusions degrade superlinearly above
+~1000 frames). The reference's 25 s figure was a GPU-memory-era choice
+(svc_inference.py:96-98); chunk size changes no semantics — the overlap
+trim and the shared whole-utterance excitation make any size seamless —
+so pass out_chunk=2500 for the literal reference geometry.
 """
 
 from __future__ import annotations
@@ -222,7 +231,7 @@ def svc_infer(
     hp: Config,
     noise_scale: float = 1.0,
     seed: int = 0,
-    out_chunk: int = 2500,
+    out_chunk: int = 1000,
     hop_frame: int = 10,
     return_source: bool = False,
     compute_dtype=None,

@@ -624,12 +624,18 @@ def snake_alias_cm_pallas(
 
     # strip-folded path: kernel cost is ceil(c/8) sublane groups x T
     # (measured: c=10 costs exactly 2x c=8 at equal T — diag_snake4), so
-    # non-8-multiple channel counts at long T fold time segments onto the
-    # channel axis for full utilization. Gated to b*t >= 2*_MIN_T so the
-    # fold gather + unfold transpose passes stay a small fraction of the
-    # kernel time (A/B: tools/diag_snake4.py --strips).
+    # non-8-multiple channel counts at long T can fold time segments onto
+    # the channel axis for full utilization. Standalone this wins 23-35%
+    # (c=10/T=806k: 1.40 -> 1.08 ms single-call), but IN-GRAPH the fold
+    # gather + unfold transpose around every call break XLA's fusion chains
+    # and the full decoder measures 16% SLOWER (same-session A/B, 401.3 vs
+    # 464.9 ms per 50 s at the shipped geometry — docs/PERFORMANCE.md
+    # round-5 section; the same standalone-vs-in-graph reversal as the
+    # fused-AMP and stride-fold probes). Default OFF; SVC_SNAKE_STRIPS=1
+    # re-enables for standalone/experimental use.
     if strips is None:
-        strips = c % 8 != 0 and b * t >= 2 * _MIN_T and t % _LANE == 0
+        strips = (c % 8 != 0 and b * t >= 2 * _MIN_T and t % _LANE == 0
+                  and os.environ.get("SVC_SNAKE_STRIPS", "0") == "1")
     if strips and not mxu:
         fold = _strip_fold(c, t)
         if fold is not None:
