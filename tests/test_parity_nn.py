@@ -465,3 +465,27 @@ def test_banded_rel_attention_helpers():
                     want_b[..., i, c] = x[..., i, j]
         np.testing.assert_allclose(got, want_b, atol=0, rtol=0,
                                    err_msg=f"a2b l={l} w={w_eff}")
+
+
+def test_msd_merge_groups_exact(rng):
+    """Block-diagonal group merging (round-5 MXU-shaping of the MSD's
+    4-channel groups) must leave values AND parameter gradients equal to
+    the plain grouped execution — same params, same checkpoints."""
+    from whisper_vits_svc_tpu.models.discriminator import ScaleDiscriminator
+
+    x = jnp.asarray(rng.standard_normal((2, 512, 1)), jnp.float32) * 0.3
+    plain = ScaleDiscriminator(merge_groups=False)
+    merged = ScaleDiscriminator(merge_groups=True)
+    p = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(mod, p, x):
+        fmap, score = mod.apply({"params": p}, x)
+        return sum(jnp.sum(jnp.abs(f)) for f in fmap) + jnp.sum(
+            jnp.square(score))
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(plain, p, x))(p)
+    v1, g1 = jax.value_and_grad(lambda p: loss(merged, p, x))(p)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
+        g0, g1)

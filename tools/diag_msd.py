@@ -70,5 +70,52 @@ def main():
         cin, t = s["features"], t_out
 
 
+
+
+def whole(merge: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_vits_svc_tpu.models.discriminator import ScaleDiscriminator
+    from whisper_vits_svc_tpu.utils.device_trace import measure_device_ms
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 8000, 1)), jnp.float32) * 0.1
+    mod = ScaleDiscriminator(merge_groups=merge)
+    p = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, x):
+        fmap, score = mod.apply({"params": p}, x)
+        return sum(jnp.sum(jnp.abs(f)) for f in fmap) + jnp.sum(jnp.square(score))
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    jax.block_until_ready(grad(p, x))
+
+    def run():
+        o = None
+        for j in range(4):
+            o = grad(p, x + j * 1e-5)
+        jax.block_until_ready(o)
+
+    ms = measure_device_ms(run, "jit_")
+    print(f"MSD fwd+bwd b16 merge={merge}: {ms:.3f} ms", flush=True)
+
+
+def main_whole():
+    from whisper_vits_svc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    whole(False)
+    whole(True)
+    whole(False)
+    whole(True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    main_whole() if "--whole" in _s.argv else main()
+
+
+if __name__ == "__main__":
+    import sys as _s
+    main_whole() if "--whole" in _s.argv else main()

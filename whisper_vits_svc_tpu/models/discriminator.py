@@ -164,9 +164,18 @@ class DiscriminatorR(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """Raw-waveform scale discriminator (reference vits_decoder/msd.py:7-29)."""
+    """Raw-waveform scale discriminator (reference vits_decoder/msd.py:7-29).
+
+    merge_groups=True (default) executes the grouped k=41 stacks with
+    block-diagonally expanded kernels so each execution group carries >=64
+    input channels — the 4-channel groups are MXU-hostile and dominated the
+    roofline audit at 3.4% of bound (per-layer fwd+bwd ~0.5 ms EACH
+    regardless of T, tools/diag_msd.py). Exact: params, checkpoints and
+    values are unchanged (off-block weights are literal zeros; loss/grad
+    equality test-enforced)."""
 
     compute_dtype: jnp.dtype | None = None
+    merge_groups: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -183,6 +192,10 @@ class ScaleDiscriminator(nn.Module):
         ]
         h = x
         for i, s in enumerate(specs):
+            if self.merge_groups and s["groups"] > 1:
+                cig = h.shape[-1] // s["groups"]
+                m = min(s["groups"], max(1, 64 // cig))
+                s = dict(s, merge_groups_to=s["groups"] // m)
             h = Conv1d(weight_norm=True, name=f"convs_{i}", **s)(h)
             h = jax.nn.leaky_relu(h, 0.1)
             fmap.append(h)
@@ -258,6 +271,8 @@ class Discriminator(nn.Module):
     # folded-layout MRD fmaps (scaled for exact mean-L1 equality) — see
     # DiscriminatorR.fold_fmaps; enabled by the trainer, off for parity tests
     mrd_fold_fmaps: bool = False
+    # MSD group merging (exact block-diagonal execution) — ScaleDiscriminator
+    msd_merge_groups: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -275,5 +290,7 @@ class Discriminator(nn.Module):
                     self.compute_dtype, name=f"mpd_{i}",
                 )(x)
             )
-        out.append(ScaleDiscriminator(self.compute_dtype, name="msd")(x))
+        out.append(ScaleDiscriminator(self.compute_dtype,
+                                      merge_groups=self.msd_merge_groups,
+                                      name="msd")(x))
         return out

@@ -106,6 +106,9 @@ class Conv1d(nn.Module):
     weight_norm: bool = False
     zero_init: bool = False    # zero kernel+bias (reference coupling post conv)
     layout: str = "NTC"
+    # execute with fewer groups via block-diagonal kernel expansion (exact;
+    # params unchanged) — see the grouped-conv branch below
+    merge_groups_to: int | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -161,6 +164,25 @@ class Conv1d(nn.Module):
         else:
             kernel = self.param("kernel", _torch_conv_init(fan_in), kshape)
         kernel = kernel.astype(x.dtype)
+        groups = self.groups
+        if self.merge_groups_to is not None and self.merge_groups_to < groups:
+            # Execute the grouped conv with FEWER groups by expanding the
+            # kernel block-diagonally: m original groups merge into one
+            # execution group of m*cig input channels, the off-block weights
+            # exactly zero. Params/checkpoints are unchanged and AD through
+            # the expansion returns exact grouped gradients; the win is
+            # MXU-shaped execution blocks for the MSD's 4-channel groups
+            # (per-layer fwd+bwd timings in docs/PERFORMANCE.md round 5).
+            gt = self.merge_groups_to
+            assert groups % gt == 0
+            m = groups // gt
+            k_, cig, feat = kernel.shape
+            fpg = feat // groups
+            kr = kernel.reshape(k_, cig, gt, m, fpg)
+            eye = jnp.eye(m, dtype=kernel.dtype)
+            kernel = jnp.einsum("kcgbf,ab->kacgbf", kr, eye).reshape(
+                k_, m * cig, feat)
+            groups = gt
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -168,7 +190,7 @@ class Conv1d(nn.Module):
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
+            feature_group_count=groups,
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
