@@ -67,13 +67,39 @@ def measure(gen, t_frames, tag, top):
     jax.block_until_ready(o)
     jax.profiler.stop_trace()
 
-    step_ms, n, ops = breakdown(load_trace(trace_dir), step_prefix="jit_dec")
+    trace = load_trace(trace_dir)
+    step_ms, n, ops = breakdown(trace, step_prefix="jit_dec")
     print(f"\n=== {tag}: t={t_frames} -> {step_ms:.2f} ms/call "
           f"({step_ms / t_frames * 1e3:.2f} us/frame, {n} calls)")
     total_us = sum(v for _, v in ops)
     for name, us in ops[:top]:
         print(f"  {name[:64]:64s} {us / 1e3 / max(n, 1):8.3f} ms "
               f"{100 * us / max(total_us, 1e-9):5.1f}%")
+
+    # top INDIVIDUAL spans (fusion.N kept distinct) with their HLO scope,
+    # so 'fusion' has names
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "CPU" not in str(e.get("args", {}).get("name", ""))
+    }
+    from collections import defaultdict
+
+    per_span = defaultdict(lambda: [0.0, ""])
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_"):
+            continue
+        per_span[name][0] += e["dur"]
+        tf_op = str(e.get("args", {}).get("tf_op", ""))[:90]
+        if tf_op:
+            per_span[name][1] = tf_op
+    print("  -- top individual spans --")
+    for name, (us, scope) in sorted(per_span.items(), key=lambda kv: -kv[1][0])[:top]:
+        print(f"  {name[:40]:40s} {us / 1e3 / max(n, 1):8.3f} ms  {scope}")
     return step_ms, dict(ops), n
 
 
