@@ -220,8 +220,12 @@ def _run_window_stage(pending, window_samples, batch_windows, run_batch,
 
         inflight.push(out_dev, harvest)
         sl.clear()
-        buf[b][:] = 0.0
-        lens[b][:] = b
+        # Fresh buffers, NOT in-place zeroing: jax passes host numpy arrays
+        # to the CPU backend with immutable-zero-copy semantics, so mutating
+        # buf/lens while the async dispatch still references them corrupts
+        # the in-flight batch (seen as a staged!=serial flake under load).
+        buf[b] = np.zeros((batch_windows, b), np.float32)
+        lens[b] = np.full((batch_windows,), b, np.int64)
 
     for utt, wi, row, ln in prefetch(rows(), depth=2 * batch_windows):
         if wi is None:  # zero-length audio
